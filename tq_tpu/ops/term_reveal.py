@@ -1,0 +1,162 @@
+"""Vectorized group-wise term revealing (the core TR op), TPU-native.
+
+Behavioural spec: reference CUDA kernel ``kernels/tr_cuda_kernel.cu:59-125``
+via the Python entry ``tr_layer.py`` (``tr_cuda.tr(x, sf, bits, g, k)``).
+Semantics: uniform-quantize magnitudes onto a ``bits``-bit grid, HESE-encode
+each value into signed power-of-two terms, keep the ``num_keep_terms``
+largest-magnitude terms per group of ``group_size`` consecutive elements
+(ties broken toward the lower element index), discard the rest, and
+dequantize.  This is a *fake-quantization* op: output has the input's dtype
+and shape and feeds ordinary MXU matmuls/convs.
+
+TPU-native formulation (no sequential merge, no sort):
+  the greedy k-way merge of per-element descending term lists emits terms in
+  (magnitude desc, element index asc) order — within an element, magnitudes
+  are distinct powers of two, so the merge order equals a global stable sort
+  by plane index.  Hence a term at (element e, plane p) survives iff
+
+      rank(e, p) = #terms in group at planes > p
+                 + #terms at plane p with element index < e   <  budget
+
+  which is two small cumulative sums over static axes (T = bits+1 planes,
+  g = group size).  Everything is static-shaped element-wise work that XLA
+  fuses; see ``tq_tpu.kernels.tr_quantize`` for the Pallas version.
+
+Deliberate fixes over the reference (SURVEY.md §2.1 quirk list):
+  * grouping axis is explicit and correct for non-square spatial dims
+    (the reference's ``base_offset`` bug scrambles W != H inputs);
+  * trailing groups where the axis length is not divisible by
+    ``group_size`` are zero-padded instead of reading out of bounds.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tq_tpu.ops.hese import hese_digit_planes, num_planes
+
+__all__ = ["uniform_quantize", "term_reveal", "term_reveal_st"]
+
+
+def uniform_quantize(x, sf, bits: int):
+    """Split ``x`` into integer magnitude on the ``bits``-bit grid and sign.
+
+    Reference: ``tr_cuda_kernel.cu:21-23`` —
+    ``q = min(int(|x|/sf + 0.5), 2**bits - 1)`` (truncating cast ==
+    round-half-up of the magnitude), sign kept separately.
+
+    Returns ``(q, sign)`` with ``q`` int32 in ``[0, 2**bits - 1]`` and
+    ``sign`` in {-1.0, +1.0} (sign(0) == +1, matching ``input < 0 ? -1 : 1``).
+    """
+    maxq = 2**bits - 1
+    mag = jnp.floor(jnp.abs(x) / sf + 0.5)
+    q = jnp.clip(mag, 0, maxq).astype(jnp.int32)
+    sign = jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
+    return q, sign
+
+
+def _select_topk_planes(planes, budget):
+    """Mask digit planes to the ``budget`` largest-magnitude terms per group.
+
+    Args:
+      planes: int32 (..., g, T) signed digits in {-1, 0, +1}; plane ``p``
+        carries magnitude ``2**p``.
+      budget: total number of terms to keep across the trailing (g, T) block.
+
+    Returns:
+      int32 (..., g, T) planes with dropped terms zeroed.
+    """
+    absd = jnp.abs(planes)  # (..., g, T) in {0, 1}
+    # Terms in this group at strictly higher planes (any element).
+    cnt = jnp.sum(absd, axis=-2, keepdims=True)  # (..., 1, T)
+    incl_from_top = jnp.cumsum(cnt[..., ::-1], axis=-1)[..., ::-1]  # sum p'>=p
+    higher = incl_from_top - cnt  # sum over p' > p
+    # Terms at the same plane from lower element indices (tie-break:
+    # strict > in the reference merge keeps the earliest element first,
+    # tr_cuda_kernel.cu:96-103).
+    within = jnp.cumsum(absd, axis=-2) - absd  # exclusive cumsum over g
+    rank = higher + within
+    keep = (rank < budget) & (absd > 0)
+    return jnp.where(keep, planes, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "group_size", "num_keep_terms", "axis")
+)
+def term_reveal(
+    x,
+    sf,
+    bits: int,
+    group_size: int = 1,
+    num_keep_terms: int = 8,
+    axis: int = 1,
+):
+    """Fake-quantize ``x`` by group-wise top-alpha term revealing.
+
+    Args:
+      x: float array (any rank >= 1).
+      sf: positive scale factor (scalar; may be a traced value — the MSE
+        calibration search vmaps over it).
+      bits: uniform-quantization bit width of the magnitude grid.
+      group_size: elements per group along ``axis`` (consecutive).
+      num_keep_terms: per-group term budget (= alpha * group_size).
+      axis: grouping axis.  The reference always groups along dim 1
+        (input channels of OIHW conv weights / rows' columns of OI linear
+        weights); activations are flattened with group_size=1 so the axis
+        is irrelevant there (``tr_layer.py:96-98``).
+
+    Returns:
+      Array like ``x`` holding the dequantized kept terms.
+    """
+    if group_size < 1:
+        raise ValueError(f"group_size must be >= 1, got {group_size}")
+    orig_shape = x.shape
+    axis = axis % x.ndim
+
+    x_moved = jnp.moveaxis(x, axis, -1)
+    n = x_moved.shape[-1]
+    pad = (-n) % group_size
+    if pad:
+        x_moved = jnp.pad(x_moved, [(0, 0)] * (x_moved.ndim - 1) + [(0, pad)])
+    grouped = x_moved.reshape(x_moved.shape[:-1] + (-1, group_size))
+
+    q, sign = uniform_quantize(grouped, sf, bits)
+    planes = hese_digit_planes(q, bits)  # (..., G, g, T)
+    kept = _select_topk_planes(planes, num_keep_terms)
+
+    T = num_planes(bits)
+    weights_pow2 = (1 << jnp.arange(T, dtype=jnp.int32))
+    outq = jnp.sum(kept * weights_pow2, axis=-1)  # (..., G, g)
+    out = sign * outq.astype(x.dtype) * sf
+
+    out = out.reshape(x_moved.shape)
+    if pad:
+        out = out[..., :n]
+    return jnp.moveaxis(out, -1, axis).reshape(orig_shape)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
+)
+def term_reveal_st(x, sf, bits, group_size=1, num_keep_terms=8, axis=1):
+    """:func:`term_reveal` with a straight-through estimator gradient.
+
+    The reference framework is post-training-only; this variant adds
+    quantization-aware training capability (d out / d x == identity,
+    no gradient to ``sf``).
+    """
+    return term_reveal(x, sf, bits, group_size, num_keep_terms, axis)
+
+
+def _st_fwd(x, sf, bits, group_size, num_keep_terms, axis):
+    return term_reveal(x, sf, bits, group_size, num_keep_terms, axis), None
+
+
+def _st_bwd(bits, group_size, num_keep_terms, axis, _res, g):
+    return (g, jnp.zeros(()))
+
+
+term_reveal_st.defvjp(_st_fwd, _st_bwd)
