@@ -1,0 +1,55 @@
+"""Pallas tr_quantize kernel must be bit-identical to the jnp term_reveal.
+
+Runs in Pallas interpreter mode on CPU (same kernel code as on TPU).
+"""
+
+import numpy as np
+import pytest
+
+from tq_tpu.kernels.tr_quantize import tr_quantize
+from tq_tpu.ops.term_reveal import term_reveal
+
+
+@pytest.mark.parametrize("bits,g,k", [(9, 1, 3), (6, 1, 6), (8, 1, 8), (4, 1, 2)])
+def test_elementwise_matches_reference_op(rng, bits, g, k):
+    x = rng.normal(0, 1, size=(2, 7, 13)).astype(np.float32)
+    got = np.asarray(tr_quantize(x, 0.04, bits, g, k, axis=-1))
+    want = np.asarray(term_reveal(x, 0.04, bits, g, k, axis=-1))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "bits,g,k",
+    [(9, 8, 12), (9, 8, 24), (4, 16, 14), (8, 2, 3), (9, 32, 32), (16, 8, 16)],
+)
+def test_grouped_matches_reference_op(rng, bits, g, k):
+    x = rng.normal(0, 1, size=(24, 64)).astype(np.float32)
+    got = np.asarray(tr_quantize(x, 0.05, bits, g, k, axis=-1))
+    want = np.asarray(term_reveal(x, 0.05, bits, g, k, axis=-1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grouped_on_conv_weight_layout(rng):
+    """OIHW conv weight grouped along input channels (axis 1)."""
+    w = rng.normal(0, 0.1, size=(64, 32, 3, 3)).astype(np.float32)
+    got = np.asarray(tr_quantize(w, 0.002, 9, 8, 16, axis=1))
+    want = np.asarray(term_reveal(w, 0.002, 9, 8, 16, axis=1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_non_divisible_group_axis(rng):
+    x = rng.normal(size=(3, 50)).astype(np.float32)  # 50 % 16 != 0
+    got = np.asarray(tr_quantize(x, 0.05, 8, 16, 20, axis=-1))
+    want = np.asarray(term_reveal(x, 0.05, 8, 16, 20, axis=-1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sf_change_no_retrace(rng):
+    """sf rides through SMEM: new values must not recompile."""
+    import jax
+
+    x = rng.normal(size=(256,)).astype(np.float32)
+    with jax.checking_leaks():
+        a = tr_quantize(x, 0.05, 8, 1, 4, axis=-1)
+        b = tr_quantize(x, 0.07, 8, 1, 4, axis=-1)
+    assert a.shape == b.shape

@@ -1,0 +1,191 @@
+"""Pallas TPU kernels for fused term-reveal fake quantization.
+
+Semantics identical to :func:`tq_tpu.ops.term_reveal.term_reveal` (itself
+the vectorized equivalent of the reference CUDA kernel
+``kernels/tr_cuda_kernel.cu:59-125``); tested for bit-exact agreement.
+
+Why a kernel when XLA already fuses element-wise chains: the jnp
+formulation materializes a ``(..., T)`` digit-plane tensor (T = bits+1, a
+10-17x memory blowup) around the cumulative sums, so on large activation
+tensors the op becomes HBM-bound at many times the input size.  The Pallas
+version keeps the plane loop *inside* the tile: one read of ``x``, one
+write of ``y``, budget/accumulator registers in VMEM — i.e. speed of light
+for a memory-bound elementwise op.
+
+Two bodies:
+  * group_size == 1 (the per-batch activation path, ``tr_layer.py:96-98``):
+    per-element top-``budget`` term truncation; pure element-wise plane
+    scan from the top magnitude down, carrying a per-element remaining
+    budget.
+  * group_size > 1 (the weight path): groups live on the sublane axis
+    (host transposes to ``(g_pad, n_groups)``), so the per-plane group
+    count is a sublane reduction and the tie-break rank is an exclusive
+    sublane cumsum; the remaining-budget vector is carried top-down,
+    making "rank < budget" equal to "within-plane rank < remaining".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["tr_quantize"]
+
+_LANE = 128
+_INT = jnp.int32
+
+
+def _digit_plane(q, p: int):
+    """Signed HESE digit of int32 ``q`` at magnitude position ``p``.
+
+    Closed form of the reference automaton window; see
+    ``tq_tpu.ops.hese.hese_digit_planes`` for the derivation.
+    """
+    b_up = (q >> (p + 1)) & 1
+    b_cur = (q >> p) & 1
+    b_dn1 = (q >> (p - 1)) & 1 if p >= 1 else jnp.zeros_like(q)
+    b_dn2 = (q >> (p - 2)) & 1 if p >= 2 else jnp.zeros_like(q)
+    pos = ((1 - b_up) & b_cur & (1 - b_dn1)) | ((1 - b_cur) & b_dn1 & b_dn2)
+    neg = b_up & b_cur & (1 - b_dn1)
+    return pos - neg
+
+
+def _quantize(x, sf, bits: int):
+    maxq = float(2**bits - 1)
+    q = jnp.minimum(jnp.floor(jnp.abs(x) / sf + 0.5), maxq).astype(_INT)
+    sign = jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
+    return q, sign
+
+
+def _elementwise_body(sf_ref, x_ref, o_ref, *, bits: int, budget: int):
+    """group_size == 1: keep the ``budget`` largest HESE terms per element."""
+    sf = sf_ref[0]
+    x = x_ref[:]
+    q, sign = _quantize(x, sf, bits)
+    rem = jnp.full(x.shape, budget, _INT)
+    acc = jnp.zeros(x.shape, _INT)
+    for p in range(bits, -1, -1):  # static unroll, top magnitude first
+        d = _digit_plane(q, p)
+        a = jnp.abs(d)
+        keep = (rem > 0) & (a > 0)
+        acc = acc + jnp.where(keep, d << p, 0)
+        rem = rem - jnp.where(keep, 1, 0)
+    o_ref[:] = sign * acc.astype(x.dtype) * sf
+
+
+def _grouped_body(sf_ref, x_ref, o_ref, *, bits: int, budget: int):
+    """group_size > 1: block is (g_pad, TILE); groups on the sublane axis."""
+    sf = sf_ref[0]
+    x = x_ref[:]
+    g_pad = x.shape[0]
+    q, sign = _quantize(x, sf, bits)
+    # Strictly-lower-triangular matrix: L @ a == exclusive sublane cumsum
+    # (Mosaic has no cumsum lowering; this rides the MXU instead).
+    row = jax.lax.broadcasted_iota(_INT, (g_pad, g_pad), 0)
+    col = jax.lax.broadcasted_iota(_INT, (g_pad, g_pad), 1)
+    ltri = (col < row).astype(jnp.float32)
+    rem = jnp.full((1, x.shape[1]), budget, _INT)
+    acc = jnp.zeros(x.shape, _INT)
+    for p in range(bits, -1, -1):
+        d = _digit_plane(q, p)
+        a = jnp.abs(d)
+        within = jnp.dot(
+            ltri, a.astype(jnp.float32), preferred_element_type=jnp.float32
+        ).astype(_INT)  # exclusive rank inside the plane
+        keep = (within < rem) & (a > 0)  # rem may go negative: then none kept
+        acc = acc + jnp.where(keep, d << p, 0)
+        rem = rem - jnp.sum(a, axis=0, keepdims=True)
+    o_ref[:] = sign * acc.astype(x.dtype) * sf
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "num_keep_terms", "axis", "interpret"),
+)
+def tr_quantize(
+    x,
+    sf,
+    bits: int,
+    group_size: int = 1,
+    num_keep_terms: int = 8,
+    axis: int = 1,
+    interpret: bool | None = None,
+):
+    """Pallas-accelerated term-reveal fake quantization.
+
+    Drop-in equivalent of :func:`tq_tpu.ops.term_reveal.term_reveal`.
+    ``sf`` is passed through SMEM, so calling with different scale factors
+    does not recompile.  ``interpret=None`` auto-selects interpreter mode
+    off-TPU (tests run the same kernel code on CPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sf_arr = jnp.asarray(sf, jnp.float32).reshape(1)
+
+    if group_size == 1:
+        flat = x.reshape(-1)
+        n = flat.shape[0]
+        cols = _LANE * 8
+        rows_needed = -(-n // cols)
+        tile_r = min(256, _pad_to(rows_needed, 8))
+        padded_rows = _pad_to(rows_needed, tile_r)
+        xp = jnp.pad(flat, (0, padded_rows * cols - n)).reshape(padded_rows, cols)
+        out = pl.pallas_call(
+            functools.partial(
+                _elementwise_body, bits=bits, budget=num_keep_terms
+            ),
+            grid=(padded_rows // tile_r,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((padded_rows, cols), x.dtype),
+            interpret=interpret,
+        )(sf_arr, xp)
+        return out.reshape(-1)[:n].reshape(x.shape)
+
+    # Grouped path: move grouping axis last, split into (n_groups, g),
+    # then put the group on the sublane axis as (g_pad, n_groups).
+    orig_shape = x.shape
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1)
+    n = xm.shape[-1]
+    pad_n = _pad_to(n, group_size) - n
+    if pad_n:
+        xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, pad_n)])
+    grouped = xm.reshape(-1, group_size)  # (NG, g)
+    ng = grouped.shape[0]
+    g_pad = _pad_to(group_size, 8)
+    tile = _LANE * 4
+    ng_pad = _pad_to(ng, tile)
+    gt = jnp.pad(grouped, ((0, ng_pad - ng), (0, g_pad - group_size))).T
+
+    out = pl.pallas_call(
+        functools.partial(_grouped_body, bits=bits, budget=num_keep_terms),
+        grid=(ng_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((g_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (g_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g_pad, ng_pad), x.dtype),
+        interpret=interpret,
+    )(sf_arr, gt)
+
+    res = out.T[:ng, :group_size].reshape(xm.shape)
+    if pad_n:
+        res = res[..., :n]
+    return jnp.moveaxis(res, -1, axis).reshape(orig_shape)
