@@ -1,0 +1,73 @@
+"""TR conv layer: NHWC/HWIO convolution with term-revealed weights.
+
+Behavioural spec: ``TRConv2dLayer`` (tr_layer.py:106-132).  TPU-native
+choices: activations are NHWC and kernels HWIO (XLA's preferred TPU conv
+layout); the term-reveal grouping runs along the input-channel axis
+(axis 2 of HWIO), which is exactly the reference's grouping along dim 1
+of its OIHW weights — g consecutive input channels at a fixed output
+channel and kernel position (tr_cuda_kernel.cu:80-90).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tq_tpu.layers.common import TRParams, quantize_weight
+from tq_tpu.layers.quantize import act_quantize, histogram_update
+
+__all__ = ["tr_conv_convert", "tr_conv_apply", "conv2d"]
+
+
+def conv2d(x, w, stride=(1, 1), padding="SAME", groups: int = 1):
+    """NHWC x HWIO -> NHWC convolution."""
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=tuple(stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def tr_conv_convert(params, tr: TRParams):
+    """Quantize conv weights once at conversion (tr_layer.py:117-121).
+
+    ``params``: {'w': (kh, kw, in_ch/groups, out_ch), 'b': (out_ch,)|None}.
+    """
+    w_q, w_sf = quantize_weight(params["w"], tr, axis=2)
+    out = dict(params)
+    out["w"] = w_q
+    out["w_sf"] = w_sf
+    return out
+
+
+def tr_conv_apply(
+    qp,
+    tr: TRParams,
+    qs,
+    x,
+    track: bool,
+    stride: Sequence[int] = (1, 1),
+    padding="SAME",
+    groups: int = 1,
+):
+    """Two-phase forward of a converted conv layer (tr_layer.py:124-126).
+
+    Returns (y, updated_qs).
+    """
+    if track:
+        qs = {**qs, "hist": histogram_update(qs["hist"], x)}
+        xq = x
+    elif tr.quantize_input:
+        xq = act_quantize(x, qs["sf"], tr.data_bits, tr.data_terms)
+    else:
+        xq = x
+    y = conv2d(xq, qp["w"], stride, padding, groups)
+    if qp.get("b") is not None:
+        y = y + qp["b"]
+    return y, qs

@@ -1,0 +1,85 @@
+"""TR dense layer: weight term-revealing + two-phase input quantization.
+
+Behavioural spec: ``TRLinearLayer`` (tr_layer.py:134-160).  Differences by
+design:
+  * weights are stored (in_features, out_features) — the natural layout
+    for ``x @ w`` on the MXU — with the term-reveal grouping on the
+    input-feature axis (axis 0), matching the reference's grouping along
+    dim 1 of its (out, in) weights;
+  * ``TRParams.quantize_input`` controls whether the quantized or the raw
+    activations feed the matmul.  The reference has a bug here — it
+    computes ``xq`` and then uses ``x`` (tr_layer.py:153-154) — so
+    reference-parity sweeps set ``quantize_input=False`` for dense layers
+    while the fixed default actually quantizes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tq_tpu.layers.common import TRParams, quantize_weight
+from tq_tpu.layers.quantize import (
+    CalibConfig,
+    act_quantize,
+    histogram_update,
+    init_histogram,
+    mse_search_scale,
+)
+
+__all__ = [
+    "tr_dense_convert",
+    "tr_dense_apply",
+    "init_quant_state",
+    "finalize_quant_state",
+]
+
+
+def init_quant_state(cfg: CalibConfig = CalibConfig()):
+    """Per-quantizer state: calibration histogram + resolved scale."""
+    return {"hist": init_histogram(cfg), "sf": jnp.float32(1.0)}
+
+
+def finalize_quant_state(qs, data_bits: int, data_terms: int,
+                         cfg: CalibConfig = CalibConfig()):
+    """``finish_tracking`` (tr_layer.py:101-104): histogram -> MSE scale."""
+    return {
+        "hist": qs["hist"],
+        "sf": mse_search_scale(qs["hist"], data_bits, data_terms, cfg),
+    }
+
+
+def tr_dense_convert(params, tr: TRParams):
+    """Quantize a dense layer's weights once (tr_layer.py:145-149).
+
+    ``params``: {'w': (in, out), 'b': (out,) or None}.
+    Returns params with term-revealed 'w' plus 'w_sf'.
+    """
+    w_q, w_sf = quantize_weight(params["w"], tr, axis=0)
+    out = dict(params)
+    out["w"] = w_q
+    out["w_sf"] = w_sf
+    return out
+
+
+def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool):
+    """Forward through a converted dense layer.
+
+    track=True  (phase 1): accumulate the input histogram, compute with
+                raw inputs (tr_layer.py:90-94).
+    track=False (phase 2): fake-quantize inputs per element with the
+                calibrated scale (unless tr.quantize_input is False,
+                reproducing the reference's TRLinearLayer), then matmul.
+
+    Returns (y, updated_qs).
+    """
+    if track:
+        qs = {**qs, "hist": histogram_update(qs["hist"], x)}
+        xq = x
+    elif tr.quantize_input:
+        xq = act_quantize(x, qs["sf"], tr.data_bits, tr.data_terms)
+    else:
+        xq = x
+    y = jnp.dot(xq, qp["w"], preferred_element_type=jnp.float32)
+    if qp.get("b") is not None:
+        y = y + qp["b"]
+    return y, qs

@@ -1,0 +1,177 @@
+"""Term-pair-operation efficiency model (the reference's thop fork, redone).
+
+The reference counts "term MACs" with runtime forward hooks
+(``thop/profile.py:59-128`` + ``profile_model.py:8-49``).  Under jit all
+shapes are static, so the counter here is a pure function of layer shapes
+and TR settings — no hooks, no dummy forward.
+
+Formulas (must match the reference exactly; they are the published
+efficiency numbers):
+
+  conv   (profile_model.py:8-26):
+      macs = out_elems * (in_ch / groups) * kh * kw
+      term_ops = min(dt, db) * (wt' / g) * macs
+      with wt' = min(wt, wb) when g == 1 else wt;
+      counted only if in_ch > 3 and groups == 1 (first-layer and
+      depthwise convs excluded).
+  dense  (profile_model.py:28-46):
+      macs = out_elems * in_features; same term conversion; always counted.
+  lstm   (profile_model.py:48-49): explicitly a no-op in the reference —
+      LSTM cost comes only from its decoder dense layer.  We replicate
+      that for parity and additionally provide the true recurrent cost
+      (``lstm_recurrent_term_macs``) behind a flag.
+
+  param bits (profile_model.py:42-46, tr_layer.py:57-63):
+      g == 1: nelement * weight_bits
+      g > 1 : compressed HESE — (ceil(log2(wt)) + 2) bits per term, summed
+      over all HESE terms of round(w / w_sf).  (The reference computes the
+      term count with a slow scalar Python loop; here it is one vectorized
+      call.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tq_tpu.layers.common import TRParams
+from tq_tpu.ops.hese import hese_terms_count
+
+__all__ = [
+    "LayerCost",
+    "conv2d_term_macs",
+    "dense_term_macs",
+    "compressed_hese_bits",
+    "dense_param_bits",
+    "model_cost",
+]
+
+
+def _effective_terms(tr: TRParams) -> tuple[float, float]:
+    """(weight_terms', data_terms') per profile_model.py:17-22,34-39."""
+    if tr.group_size == 1:
+        wt = min(tr.weight_terms, tr.weight_bits)
+    else:
+        wt = tr.weight_terms
+    dt = min(tr.data_terms, tr.data_bits)
+    return wt, dt
+
+
+def conv2d_term_macs(
+    out_elems: int,
+    in_ch: int,
+    kh: int,
+    kw: int,
+    tr: TRParams,
+    groups: int = 1,
+) -> int:
+    """Term-pair ops for one conv layer; 0 for excluded layers.
+
+    ``out_elems`` is N*H_out*W_out*C_out.  Exclusion rule
+    (profile_model.py:25-26): first conv (in_ch <= 3) and grouped convs
+    contribute nothing.
+    """
+    if in_ch <= 3 or groups != 1:
+        return 0
+    macs = out_elems * (in_ch // groups) * kh * kw
+    wt, dt = _effective_terms(tr)
+    return int(dt * (wt / tr.group_size) * macs)
+
+
+def dense_term_macs(out_elems: int, in_features: int, tr: TRParams) -> int:
+    """Term-pair ops for one dense layer (profile_model.py:28-41)."""
+    macs = out_elems * in_features
+    wt, dt = _effective_terms(tr)
+    return int(dt * (wt / tr.group_size) * macs)
+
+
+def compressed_hese_bits(w, w_sf, weight_terms: int, weight_bits: int) -> int:
+    """Compressed-HESE storage bits of a quantized weight tensor.
+
+    Reference ``compute_compressed_hese`` (tr_layer.py:57-63): each term
+    costs ``ceil(log2(weight_terms)) + 2`` bits (exponent + sign +
+    barrier); total = per-term cost * number of HESE terms of
+    ``int(w / w_sf)``.
+
+    Note the reference truncates toward zero (``.int()``) on the
+    *already term-revealed* weights, whose magnitudes are exact multiples
+    of ``w_sf`` — so truncation == exact division there.
+    """
+    exp_bits = math.ceil(math.log2(weight_terms))
+    per_term = exp_bits + 2
+    q = jnp.abs(jnp.trunc(jnp.asarray(w) / w_sf)).astype(jnp.int32)
+    nterms = int(jnp.sum(hese_terms_count(q, weight_bits + 1)))
+    return per_term * nterms
+
+
+def dense_param_bits(w, w_sf, tr: TRParams) -> int:
+    """Weight storage bits for a dense layer (profile_model.py:42-46)."""
+    if tr.group_size == 1:
+        return int(np.prod(np.asarray(w).shape)) * tr.weight_bits
+    return compressed_hese_bits(w, w_sf, tr.weight_terms, tr.weight_bits)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerCost:
+    """Shape record for one countable layer of a model."""
+
+    kind: str  # 'dense' | 'conv' | 'lstm'
+    name: str
+    out_elems: int
+    in_features: int  # in_ch for conv
+    kh: int = 1
+    kw: int = 1
+    groups: int = 1
+    weight_numel: int = 0  # for g=1 dense param bits without the array
+
+
+def model_cost(
+    layers: Iterable[tuple[LayerCost, TRParams]],
+    weights: Optional[dict] = None,
+    scales: Optional[dict] = None,
+) -> tuple[int, int]:
+    """(term_macs, param_bits) over a converted model.
+
+    ``weights``/``scales`` (name -> quantized weight / w_sf) are needed
+    only for the compressed-HESE parameter-bit term of grouped dense
+    layers; conv layers contribute no parameter bits in the reference
+    counter, matching ``tr_conv2d_ops`` (profile_model.py:8-26).
+    """
+    tmacs = 0
+    pbits = 0
+    for lc, tr in layers:
+        if lc.kind == "conv":
+            tmacs += conv2d_term_macs(
+                lc.out_elems, lc.in_features, lc.kh, lc.kw, tr, lc.groups
+            )
+        elif lc.kind == "dense":
+            tmacs += dense_term_macs(lc.out_elems, lc.in_features, tr)
+            if tr.group_size == 1:
+                pbits += lc.weight_numel * tr.weight_bits
+            elif weights is not None and lc.name in weights:
+                pbits += compressed_hese_bits(
+                    weights[lc.name], scales[lc.name], tr.weight_terms, tr.weight_bits
+                )
+        elif lc.kind == "lstm":
+            # tr_lstm_ops is a no-op in the reference (profile_model.py:48-49)
+            pass
+    return tmacs, pbits
+
+
+def lstm_recurrent_term_macs(
+    seq_len: int, batch: int, input_size: int, hidden: int, num_layers: int, tr: TRParams
+) -> int:
+    """True recurrent-path cost (NOT counted by the reference; extension).
+
+    Per step and layer: 4 gates of (in + hidden) @ hidden MACs.
+    """
+    wt, dt = _effective_terms(tr)
+    total = 0
+    for layer in range(num_layers):
+        in_sz = input_size if layer == 0 else hidden
+        total += seq_len * batch * 4 * hidden * (in_sz + hidden)
+    return int(dt * (wt / tr.group_size) * total)

@@ -1,0 +1,72 @@
+"""Flat-npz checkpointing for param/state pytrees.
+
+The reference's checkpoint story is ad-hoc (state_dict for the MLP,
+whole-model pickle for the LSTM — SURVEY.md §5).  Here every pytree of
+arrays round-trips through a flat .npz keyed by '/'-joined paths: simple,
+portable, and safe (no pickled code).  Calibration state (histograms,
+scale factors) checkpoints the same way, making sweep settings resumable.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+__all__ = ["save_params", "load_params", "flatten_tree", "unflatten_tree"]
+
+
+def flatten_tree(tree, prefix=""):
+    """Pytree -> {'path/to/leaf': np.ndarray}.  Lists use numeric keys."""
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}{i}/"))
+    elif tree is None:
+        out[prefix.rstrip("/") + "#none"] = np.zeros(0)
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: dict):
+    """Inverse of :func:`flatten_tree` (lists come back as dicts with
+    numeric string keys converted to lists when contiguous)."""
+    root: dict = {}
+    for path, val in flat.items():
+        if path.endswith("#none"):
+            path, val = path[: -len("#none")], None
+        keys = path.split("/")
+        node = root
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            idxs = sorted(int(k) for k in node)
+            if idxs == list(range(len(idxs))):
+                return [node[str(i)] for i in idxs]
+        return node
+
+    return listify(root)
+
+
+def save_params(path: str | Path, tree):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = flatten_tree(jax.device_get(tree))
+    np.savez(path, **flat)
+
+
+def load_params(path: str | Path):
+    with np.load(Path(path), allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    return unflatten_tree(flat)

@@ -1,0 +1,40 @@
+"""Progress meters (equivalent of util.py:83-121)."""
+
+from __future__ import annotations
+
+__all__ = ["AverageMeter", "ProgressMeter"]
+
+
+class AverageMeter:
+    """Running average of a scalar (util.py:83-104)."""
+
+    def __init__(self, name: str, fmt: str = ":f"):
+        self.name, self.fmt = name, fmt
+        self.reset()
+
+    def reset(self):
+        self.val = self.sum = self.count = 0.0
+        self.avg = 0.0
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+    def __str__(self):
+        return ("{name} {val" + self.fmt + "} ({avg" + self.fmt + "})").format(
+            **self.__dict__
+        )
+
+
+class ProgressMeter:
+    def __init__(self, num_batches: int, meters, prefix: str = ""):
+        self.num_batches = num_batches
+        self.meters = meters
+        self.prefix = prefix
+
+    def display(self, batch: int):
+        line = [f"{self.prefix}[{batch}/{self.num_batches}]"]
+        line += [str(m) for m in self.meters]
+        print("\t".join(line))
