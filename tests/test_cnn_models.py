@@ -1,0 +1,144 @@
+"""CNN zoo tests: spec-table parity anchors, conversion, forwards.
+
+The tmacs anchors are *derived from the reference's published results*
+(`/root/reference/results/<arch>-results.json`): each published quant
+tmacs value equals  dt' * (wt' * macs_quantized + 16 * macs_se)  with
+the run's settings, so matching them validates every conv's
+(in, out, k, stride, out_hw) in our spec tables end to end.  Our values
+are exact integers; the reference accumulated in float32 buffers
+(thop register_buffer), so its *steps* wobble by +-1024 at 1e10 scale.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tq_tpu.convert import convert_cnn, finalize_cnn, make_cnn_apply, static_conv_layer_settings
+from tq_tpu.models import alexnet, efficientnet, mobilenet, resnet, vgg
+from tq_tpu.profilers import cnn_cost, param_count
+
+
+def _countable(specs):
+    return sum(
+        s.out_elems * (s.in_ch // s.groups) * s.kh * s.kw
+        for s in specs
+        if s.in_ch > 3 and s.groups == 1 and not s.is_se
+    )
+
+
+def _se_macs(specs):
+    return sum(
+        s.out_elems * s.in_ch * s.kh * s.kw for s in specs if s.is_se
+    )
+
+
+# (module, quantized-macs, se-macs, published quant tmacs[0] and its
+#  (dt', wt'[0]) -- from results/<arch>-results.json)
+ANCHORS = [
+    (resnet, 1_695_547_392, 0, 67_821_895_680, 8, 5),
+    (vgg, 15_259_926_528, 0, 610_397_061_120, 8, 5),
+    (mobilenet, 267_939_840, 0, 14_468_751_360, 9, 6),
+    (efficientnet, 338_537_472, 627_200, 18_371_340_288, 9, 6),
+]
+
+
+@pytest.mark.parametrize("m,mq,mse,published,dt,wt", ANCHORS)
+def test_spec_table_matches_published_tmacs(m, mq, mse, published, dt, wt):
+    specs = m.conv_specs()
+    assert _countable(specs) == mq
+    assert _se_macs(specs) == mse
+    assert dt * (wt * mq + 16 * mse) == published
+
+
+def test_alexnet_countable_macs():
+    # No published json for alexnet; lock the value against regressions.
+    assert _countable(alexnet.conv_specs()) == 585_289_728
+
+
+@pytest.mark.parametrize(
+    "m,n",
+    [
+        (resnet, 11_689_512),       # torchvision resnet18
+        (mobilenet, 3_504_872),     # torchvision mobilenet_v2
+        (vgg, 138_365_992),         # torchvision vgg16_bn
+        (alexnet, 61_100_840),      # torchvision alexnet
+    ],
+)
+def test_param_count_matches_torch(m, n):
+    assert param_count(m.init(jax.random.PRNGKey(0))) == n
+
+
+def test_cnn_cost_reproduces_reference_formula():
+    specs = resnet.conv_specs()
+    settings = static_conv_layer_settings(specs, 9, 8, 12)
+    tmacs, avg_terms = cnn_cost(specs, settings, 9, 3)
+    # dt'=3, alpha=12/8: 3 * 1.5 * macs
+    assert tmacs == int(3 * (12 / 8) * 1_695_547_392)
+    assert avg_terms == 12 / 8
+
+
+def test_policy_exemptions():
+    specs = mobilenet.conv_specs()
+    settings = static_conv_layer_settings(specs, 9, 8, 12)
+    assert settings[0] == (16, 1, 16)  # stem
+    for spec, s in zip(specs, settings):
+        if spec.groups > 1:
+            assert s == (16, 1, 16)
+    n_q = sum(1 for s in settings if s == (9, 8, 12))
+    assert n_q == 34  # 2x17 pointwise + head
+
+    es = efficientnet.conv_specs()
+    esettings = static_conv_layer_settings(es, 9, 8, 12)
+    for spec, s in zip(es, esettings):
+        if spec.is_se:
+            assert s == (16, 1, 16)
+
+
+@pytest.mark.parametrize("m,image", [(resnet, 64), (mobilenet, 64),
+                                     (efficientnet, 64), (alexnet, 224),
+                                     (vgg, 224)])
+def test_fp32_forward_shapes(m, image, rng):
+    params = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.normal(size=(2, image, image, 3)), jnp.float32)
+    y = m.apply(params, x)
+    assert y.shape == (2, 1000)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_resnet_convert_and_two_phase_eval(rng):
+    """Full convert -> calibrate -> finalize -> eval cycle on resnet18."""
+    params = resnet.init(jax.random.PRNGKey(0))
+    specs = resnet.conv_specs()
+    settings = static_conv_layer_settings(specs, 8, 8, 16)
+    qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 8, 4)
+    assert "conv1" not in qcfg  # stem untouched
+    assert "layer1.0.conv1" in qcfg
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    track = make_cnn_apply(resnet, qcfg, track=True)
+    _, qstate = track(qparams, qstate, x)
+    assert float(jnp.sum(qstate["layer1.0.conv1"]["hist"])) > 0
+    qstate = finalize_cnn(qstate, qcfg)
+    ev = make_cnn_apply(resnet, qcfg, track=False)
+    logits, _ = ev(qparams, qstate, x)
+    assert logits.shape == (2, 1000)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_convert_high_bits_near_lossless(rng):
+    """(16,1,16) exempt-style conversion must preserve fp32 outputs."""
+    params = resnet.init(jax.random.PRNGKey(1))
+    specs = resnet.conv_specs()
+    settings = [(16, 1, 16)] * len(specs)
+    qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 16, 16)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    ref = resnet.apply(params, x)
+    # calibrate so scales exist
+    track = make_cnn_apply(resnet, qcfg, track=True)
+    _, qstate = track(qparams, qstate, x)
+    qstate = finalize_cnn(qstate, qcfg)
+    ev = make_cnn_apply(resnet, qcfg, track=False)
+    out, _ = ev(qparams, qstate, x)
+    # top-1 prediction unchanged at near-lossless settings
+    assert jnp.array_equal(jnp.argmax(out, -1), jnp.argmax(ref, -1))

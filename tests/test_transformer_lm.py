@@ -1,0 +1,115 @@
+"""Transformer LM: torch parity + TR conversion tests."""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from tq_tpu.models import transformer_lm
+
+
+def _import_torch(tmodel, vocab, emsize, nhead, nlayers):
+    sd = tmodel.state_dict()
+    p = {"encoder": {"w": jnp.asarray(sd["encoder.weight"].numpy())}}
+    for i in range(nlayers):
+        pre = f"transformer_encoder.layers.{i}"
+        p[f"{pre}.self_attn.in_proj"] = {
+            "w": jnp.asarray(sd[f"{pre}.self_attn.in_proj_weight"].numpy().T),
+            "b": jnp.asarray(sd[f"{pre}.self_attn.in_proj_bias"].numpy()),
+        }
+        p[f"{pre}.self_attn.out_proj"] = {
+            "w": jnp.asarray(sd[f"{pre}.self_attn.out_proj.weight"].numpy().T),
+            "b": jnp.asarray(sd[f"{pre}.self_attn.out_proj.bias"].numpy()),
+        }
+        for lin in ("linear1", "linear2"):
+            p[f"{pre}.{lin}"] = {
+                "w": jnp.asarray(sd[f"{pre}.{lin}.weight"].numpy().T),
+                "b": jnp.asarray(sd[f"{pre}.{lin}.bias"].numpy()),
+            }
+        for nrm in ("norm1", "norm2"):
+            p[f"{pre}.{nrm}"] = {
+                "scale": jnp.asarray(sd[f"{pre}.{nrm}.weight"].numpy()),
+                "bias": jnp.asarray(sd[f"{pre}.{nrm}.bias"].numpy()),
+            }
+    p["decoder"] = {
+        "w": jnp.asarray(sd["decoder.weight"].numpy().T),
+        "b": jnp.asarray(sd["decoder.bias"].numpy()),
+    }
+    return p
+
+
+class _TorchTwin(nn.Module):
+    """The reference TransformerModel (lstm_models/model.py:108-152),
+    eval mode (dropout 0)."""
+
+    def __init__(self, ntoken, ninp, nhead, nhid, nlayers):
+        super().__init__()
+        layer = nn.TransformerEncoderLayer(ninp, nhead, nhid, dropout=0.0)
+        self.transformer_encoder = nn.TransformerEncoder(layer, nlayers)
+        self.encoder = nn.Embedding(ntoken, ninp)
+        self.decoder = nn.Linear(ninp, ntoken)
+        self.ninp = ninp
+
+    def forward(self, src):
+        T = src.shape[0]
+        mask = torch.triu(torch.full((T, T), float("-inf")), diagonal=1)
+        x = self.encoder(src) * math.sqrt(self.ninp)
+        # positional encoding added separately in the jax side too
+        pos = np.zeros((T, self.ninp), np.float32)
+        position = np.arange(T)[:, None]
+        div = np.exp(np.arange(0, self.ninp, 2) * (-math.log(10000.0) / self.ninp))
+        pos[:, 0::2] = np.sin(position * div)
+        pos[:, 1::2] = np.cos(position * div)
+        x = x + torch.from_numpy(pos)[:, None, :]
+        out = self.transformer_encoder(x, mask)
+        return torch.log_softmax(self.decoder(out), dim=-1)
+
+
+@pytest.fixture(scope="module")
+def twin():
+    torch.manual_seed(0)
+    vocab, emsize, nhead, nhid, nlayers = 60, 16, 2, 32, 2
+    m = _TorchTwin(vocab, emsize, nhead, nhid, nlayers).eval()
+    params = _import_torch(m, vocab, emsize, nhead, nlayers)
+    return m, params, vocab
+
+
+def test_forward_matches_torch(twin, rng):
+    m, params, vocab = twin
+    tokens = rng.integers(0, vocab, size=(7, 3))
+    with torch.no_grad():
+        ref = m(torch.from_numpy(tokens)).numpy().reshape(7 * 3, vocab)
+    out = transformer_lm.apply(params, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_convert_and_quantized_forward(twin, rng):
+    _, params, vocab = twin
+    qp, qcfg, qs = transformer_lm.convert(params, 8, 8, 16, 8, 8)
+    assert "decoder" in qcfg
+    assert "transformer_encoder.layers.0.linear1" in qcfg
+    assert "transformer_encoder.layers.0.self_attn.in_proj" not in qcfg
+    tokens = jnp.asarray(rng.integers(0, vocab, size=(5, 2)))
+    track = transformer_lm.make_quantized_apply(qcfg, track=True)
+    _, qs = track(qp, qs, tokens)
+    qs = transformer_lm.finalize(qs, qcfg)
+    ev = transformer_lm.make_quantized_apply(qcfg, track=False)
+    logp, _ = ev(qp, qs, tokens)
+    assert logp.shape == (10, vocab)
+    assert bool(jnp.all(jnp.isfinite(logp)))
+
+
+def test_high_bit_conversion_near_lossless(twin, rng):
+    _, params, vocab = twin
+    qp, qcfg, qs = transformer_lm.convert(params, 16, 1, 16, 16, 16,
+                                          quantize_input=False)
+    tokens = jnp.asarray(rng.integers(0, vocab, size=(6, 2)))
+    ref = transformer_lm.apply(params, tokens)
+    ev = transformer_lm.make_quantized_apply(qcfg, track=False)
+    out, _ = ev(qp, qs, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)

@@ -1,0 +1,98 @@
+"""Generic CNN conversion: params + conv specs -> TR-quantized model.
+
+Functional equivalent of the reference's module-tree surgery
+(``convert_model`` -> ``replace_conv_layers``,
+``cnn_models/__init__.py:30-70``): every conv except the stem becomes a
+TR layer — weights term-revealed once along the input-channel axis,
+activations two-phase calibrated at the global (data_bits, data_terms).
+Exempt layers (policy above) still quantize activations, exactly like a
+reference ``TRConv2dLayer`` at (16, 1, 16); the stem stays fp32 and
+unquantized because the reference never replaces it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+
+from tq_tpu.layers.common import TRParams, quantize_weight
+from tq_tpu.layers.linear import finalize_quant_state, init_quant_state
+from tq_tpu.layers.qctx import QuantCtx
+
+__all__ = ["convert_cnn", "make_cnn_apply", "finalize_cnn"]
+
+
+def convert_cnn(
+    model_mod,
+    params,
+    settings: Sequence[tuple[int, int, int]],
+    data_bits: int,
+    data_terms: int,
+    image: int | None = None,
+):
+    """Convert a CNN param tree.
+
+    Args:
+      model_mod: model module exposing ``conv_specs()``/``apply``.
+      params: fp32 param pytree (flat names -> leaves).
+      settings: per-conv (weight_bits, group_size, weight_terms), same
+        order as ``conv_specs()`` (use
+        :func:`tq_tpu.convert.policy.static_conv_layer_settings`).
+      data_bits / data_terms: activation quantization, global.
+
+    Returns (qparams, qcfg, qstate); the stem (spec index 0) is left
+    untouched and absent from qcfg.
+    """
+    specs = model_mod.conv_specs(image) if image else model_mod.conv_specs()
+    if len(settings) != len(specs):
+        raise ValueError(
+            f"{len(settings)} settings for {len(specs)} conv layers"
+        )
+    qparams = dict(params)
+    qcfg = {}
+    qstate = {}
+    for i, (spec, (wb, gs, wt)) in enumerate(zip(specs, settings)):
+        if i == 0:
+            continue  # stem never replaced (cnn_models/__init__.py:33-36)
+        tr = TRParams(
+            weight_bits=wb,
+            group_size=gs,
+            weight_terms=wt,
+            data_bits=data_bits,
+            data_terms=data_terms,
+            quantize_input=True,
+        )
+        w_q, w_sf = quantize_weight(params[spec.name]["w"], tr, axis=2)
+        qparams[spec.name] = {**params[spec.name], "w": w_q, "w_sf": w_sf}
+        qcfg[spec.name] = tr
+        qstate[spec.name] = init_quant_state()
+    return qparams, qcfg, qstate
+
+
+def make_cnn_apply(model_mod, qcfg, track: bool):
+    """Jitted two-phase forward: f(qparams, qstate, x) -> (logits, new_qstate).
+
+    ``qcfg`` is closed over (its TRParams are static); ``track`` picks
+    calibration vs quantized eval.
+    """
+
+    @jax.jit
+    def forward(qparams, qstate, x):
+        ctx = QuantCtx(cfg=qcfg, state=qstate, track=track)
+        logits = model_mod.apply(qparams, x, ctx)
+        new_state = {**qstate, **ctx.out_state}
+        return logits, new_state
+
+    return forward
+
+
+def finalize_cnn(qstate, qcfg):
+    """Histogram -> MSE scale search for every converted layer."""
+    return {
+        name: finalize_quant_state(
+            qstate[name], qcfg[name].data_bits, qcfg[name].data_terms
+        )
+        for name in qstate
+    }

@@ -1,0 +1,167 @@
+"""Wikitext-2 LSTM UQ/TR perplexity sweep (equivalent of evaluate_lstm.py).
+
+Protocol per (wb, wt, db, dt, gs) setting (evaluate_lstm.py:154-177):
+convert -> full calibration pass over the test stream (the reference
+calibrates on the *entire* eval set, not 5%) -> finalize scales ->
+evaluate perplexity -> profile.  bptt=35 chunks of a batchified (T, 10)
+token stream, hidden state carried across chunks.
+
+tmacs/param_bits reproduce the reference profile exactly: the LSTM hook
+is a no-op (profile_model.py:48-49), so cost comes only from the decoder
+linear on one bptt chunk — ``35*10*vocab*650`` MACs — and param_bits
+count only the decoder weight (g=1: nelement*wb; g>1: compressed HESE).
+
+Output schema: ``{"ppls": [], "tmacs": [], "param_bits": []}``
+(results/lstm-{quant,tr}.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from tq_tpu.models import lstm_lm
+from tq_tpu.profilers import dense_param_bits, dense_term_macs
+from tq_tpu.layers.common import TRParams
+
+EVAL_BATCH = 10
+BPTT = 35
+
+
+def _chunks(stream: np.ndarray, bptt: int = BPTT):
+    """get_batch over the (T, B) stream (evaluate_lstm.py:135-139)."""
+    for i in range(0, len(stream) - 1, bptt):
+        seq = min(bptt, len(stream) - 1 - i)
+        yield stream[i : i + seq], stream[i + 1 : i + 1 + seq].reshape(-1)
+
+
+def _run_epoch(fwd, qparams, qstate, stream, vocab, update_state: bool):
+    """One pass over the stream; returns (mean NLL per token, qstate).
+
+    Chunks shorter than bptt (the tail) hit a fresh jit specialization;
+    static shapes per length, at most 2 programs.
+    """
+    total_loss = 0.0
+    nhid = qparams["rnn"][0]["w_hh"].shape[0]
+    hidden = lstm_lm.init_hidden(EVAL_BATCH, nhid=nhid,
+                                 nlayers=len(qparams["rnn"]))
+    for x, y in _chunks(stream):
+        logp, hidden, new_qs = fwd(
+            qparams, qstate, jnp.asarray(x), hidden
+        )
+        if update_state:
+            qstate = new_qs
+        nll = -jnp.take_along_axis(
+            logp, jnp.asarray(y)[:, None], axis=1
+        ).mean()
+        total_loss += len(x) * float(nll)
+    return total_loss / (len(stream) - 1), qstate
+
+
+def evaluate_setting(params, wb, wt, db, dt, gs, stream, vocab,
+                     quantize_decoder_input=False, quantize_layers=(0,)):
+    qparams, qcfg, qstate = lstm_lm.convert(
+        params, wb, gs, wt, db, dt,
+        quantize_layers=quantize_layers,
+        quantize_decoder_input=quantize_decoder_input,
+    )
+    track_fwd = lstm_lm.make_quantized_apply(qcfg, track=True)
+    _, qstate = _run_epoch(track_fwd, qparams, qstate, stream, vocab, True)
+    qstate = lstm_lm.finalize(qstate, qcfg)
+
+    eval_fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
+    loss, _ = _run_epoch(eval_fwd, qparams, qstate, stream, vocab, False)
+    ppl = math.exp(loss)
+
+    tr = TRParams(wb, gs, wt, db, dt)
+    nhid = qparams["decoder"]["w"].shape[0]
+    tmacs = dense_term_macs(BPTT * EVAL_BATCH * vocab, nhid, tr)
+    param_bits = dense_param_bits(
+        qparams["decoder"]["w"], qparams["decoder"]["w_sf"], tr
+    )
+    return ppl, tmacs, param_bits
+
+
+def run_sweep(wb, wt, db, dt, gs, out_file=None, checkpoint=None,
+              data_dir=None, limit_tokens=None, verbose=True):
+    from tq_tpu.data.wikitext import batchify, load_corpus
+
+    corpus, source = load_corpus(data_dir)
+    vocab = len(corpus.dictionary.idx2word)
+    if verbose:
+        print(f"corpus source: {source}; vocab={vocab}")
+
+    if checkpoint:
+        params = _load_checkpoint(checkpoint, vocab)
+    else:
+        import jax
+
+        params = lstm_lm.init(jax.random.PRNGKey(0), vocab=vocab)
+
+    test = corpus.test
+    if limit_tokens:
+        test = test[:limit_tokens]
+    stream = batchify(np.asarray(test), EVAL_BATCH)
+
+    results = {"ppls": [], "tmacs": [], "param_bits": []}
+    for setting in zip(wb, wt, db, dt, gs):
+        ppl, tmacs, bits = evaluate_setting(
+            params, *setting, stream=stream, vocab=vocab
+        )
+        results["ppls"].append(ppl)
+        results["tmacs"].append(float(tmacs))
+        results["param_bits"].append(float(bits))
+        if verbose:
+            print(*setting, ppl, tmacs, bits, flush=True)
+        if out_file:
+            Path(out_file).parent.mkdir(parents=True, exist_ok=True)
+            with open(out_file, "w") as fp:
+                json.dump(results, fp)
+    return results
+
+
+def _load_checkpoint(path, vocab):
+    p = Path(path)
+    if p.suffix == ".npz":
+        from tq_tpu.utils.checkpoint import load_params
+
+        return load_params(p)
+    from tq_tpu.utils.torch_import import load_torch_checkpoint
+
+    tree = load_torch_checkpoint(p)
+    params = {
+        "encoder": {"w": jnp.asarray(tree["encoder"]["w"].T)
+                    if tree["encoder"]["w"].shape[0] != vocab
+                    else jnp.asarray(tree["encoder"]["w"])},
+        "rnn": [
+            {k: jnp.asarray(v) for k, v in layer.items()}
+            for layer in tree["rnn"]
+        ],
+        "decoder": {"b": jnp.asarray(tree["decoder"]["b"])},  # tied
+    }
+    return params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Wikitext-2 LSTM UQ/TR sweep")
+    ap.add_argument("--wb", nargs="+", type=int, required=True)
+    ap.add_argument("--wt", nargs="+", type=int, required=True)
+    ap.add_argument("--db", nargs="+", type=int, required=True)
+    ap.add_argument("--dt", nargs="+", type=int, required=True)
+    ap.add_argument("--gs", nargs="+", type=int, required=True)
+    ap.add_argument("--out-file", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--limit-tokens", type=int, default=None)
+    a = ap.parse_args(argv)
+    run_sweep(a.wb, a.wt, a.db, a.dt, a.gs, a.out_file, a.checkpoint,
+              a.data, a.limit_tokens)
+
+
+if __name__ == "__main__":
+    main()

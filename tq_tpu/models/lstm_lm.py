@@ -1,0 +1,141 @@
+"""Word-level LSTM language model (reference lstm_models/model.py:6-62).
+
+RNNModel: embedding encoder -> n-layer LSTM -> tied-weight decoder ->
+log-softmax.  Eval-mode forward (dropout identity); the training path
+lives in ``tq_tpu.evals.train_lstm``.
+
+TR conversion (evaluate_lstm.py:17-52 + tr_layer.py:162-201):
+  * the LSTM module gets layer-0 ``w_ih``/``w_hh`` term-revealed
+    (reference never touches layer >= 1; ``quantize_layers`` controls),
+    plus ONE shared activation quantizer applied to the embedding
+    sequence and both incoming hidden tensors once per bptt chunk;
+  * the decoder Linear gets its weight term-revealed; its input
+    quantizer exists but the reference forward drops the quantized
+    activations (tr_layer.py:153-154) — ``quantize_input=False``
+    reproduces that, True gives the fixed behaviour.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tq_tpu.layers.common import TRParams
+from tq_tpu.layers.linear import (
+    finalize_quant_state,
+    init_quant_state,
+    tr_dense_apply,
+    tr_dense_convert,
+)
+from tq_tpu.layers.lstm import lstm_apply, lstm_init, tr_lstm_apply, tr_lstm_convert
+
+VOCAB = 33278  # wikitext-2 word vocabulary (reference corpus)
+EMSIZE = 650
+NHID = 650
+NLAYERS = 2
+
+__all__ = ["init", "apply", "init_hidden", "convert", "make_quantized_apply",
+           "finalize"]
+
+
+def init(rng, vocab: int = VOCAB, emsize: int = EMSIZE, nhid: int = NHID,
+         nlayers: int = NLAYERS, tied: bool = True):
+    """Uniform(-0.1, 0.1) encoder/decoder init (model.py:30-34), torch
+    LSTM default for the recurrent weights."""
+    k_emb, k_lstm, k_dec = jax.random.split(rng, 3)
+    params = {
+        "encoder": {"w": jax.random.uniform(k_emb, (vocab, emsize),
+                                            minval=-0.1, maxval=0.1)},
+        "rnn": lstm_init(k_lstm, emsize, nhid, nlayers),
+        "decoder": {
+            "b": jnp.zeros((vocab,), jnp.float32),
+        },
+    }
+    if not tied:
+        params["decoder"]["w"] = jax.random.uniform(
+            k_dec, (nhid, vocab), minval=-0.1, maxval=0.1
+        )
+    # tied decoders have no 'w' leaf: weight = encoder.w.T at apply time.
+    return params
+
+
+def _decoder_weight(params):
+    dec = params["decoder"]
+    if "w" not in dec:
+        return params["encoder"]["w"].T  # (nhid, vocab) — tied
+    return dec["w"]
+
+
+def init_hidden(batch: int, nhid: int = NHID, nlayers: int = NLAYERS):
+    z = jnp.zeros((nlayers, batch, nhid), jnp.float32)
+    return (z, z)
+
+
+def apply(params, tokens, hidden):
+    """fp32 forward: (T, B) int tokens -> ((T*B, vocab) log-probs, hidden)."""
+    emb = params["encoder"]["w"][tokens]  # (T, B, emsize)
+    out, hidden = lstm_apply(params["rnn"], emb, hidden)
+    T, B, H = out.shape
+    w = _decoder_weight(params)
+    logits = jnp.dot(out.reshape(T * B, H), w,
+                     preferred_element_type=jnp.float32) + params["decoder"]["b"]
+    return jax.nn.log_softmax(logits, axis=-1), hidden
+
+
+def convert(
+    params,
+    wb: int,
+    gs: int,
+    wt: int,
+    db: int,
+    dt: int,
+    quantize_layers=(0,),
+    quantize_decoder_input: bool = False,
+):
+    """TR-convert the LSTM + decoder (static_lstm_layer_settings gives
+    both the same (wb, gs, wt); evaluate_lstm.py:39-46).
+
+    Returns (qparams, qcfg, qstate) with qcfg/qstate keyed 'rnn' and
+    'decoder'.  A tied decoder materializes its own quantized weight
+    copy — the reference does the same (TRLinearLayer term-reveals the
+    tied tensor it was handed, tr_layer.py:145-148).
+    """
+    tr_rnn = TRParams(wb, gs, wt, db, dt, quantize_input=True)
+    tr_dec = TRParams(wb, gs, wt, db, dt,
+                      quantize_input=quantize_decoder_input)
+    qparams = dict(params)
+    qparams["rnn"] = tr_lstm_convert(params["rnn"], tr_rnn, quantize_layers)
+    dec = {"w": _decoder_weight(params), "b": params["decoder"]["b"]}
+    qparams["decoder"] = tr_dense_convert(dec, tr_dec)
+    qcfg = {"rnn": tr_rnn, "decoder": tr_dec}
+    qstate = {"rnn": init_quant_state(), "decoder": init_quant_state()}
+    return qparams, qcfg, qstate
+
+
+def make_quantized_apply(qcfg, track: bool):
+    """f(qparams, qstate, tokens, hidden) -> (logp, hidden, new_qstate)."""
+
+    @jax.jit
+    def forward(qparams, qstate, tokens, hidden):
+        emb = qparams["encoder"]["w"][tokens]
+        out, hidden, qs_rnn = tr_lstm_apply(
+            qparams["rnn"], qcfg["rnn"], qstate["rnn"], emb, hidden, track
+        )
+        T, B, H = out.shape
+        logits, qs_dec = tr_dense_apply(
+            qparams["decoder"], qcfg["decoder"], qstate["decoder"],
+            out.reshape(T * B, H), track,
+        )
+        new_state = {"rnn": qs_rnn, "decoder": qs_dec}
+        return jax.nn.log_softmax(logits, axis=-1), hidden, new_state
+
+    return forward
+
+
+def finalize(qstate, qcfg):
+    return {
+        name: finalize_quant_state(
+            qstate[name], qcfg[name].data_bits, qcfg[name].data_terms
+        )
+        for name in qstate
+    }

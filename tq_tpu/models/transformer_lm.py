@@ -1,0 +1,174 @@
+"""Transformer language model (reference lstm_models/model.py:108-152).
+
+``TransformerModel``: embedding * sqrt(d) -> sinusoidal positional
+encoding -> N post-LN torch ``TransformerEncoderLayer``s (self-attention
+with causal mask, ReLU feed-forward) -> linear decoder -> log-softmax.
+Eval-mode forward (dropout identity); param names mirror the torch
+module tree so checkpoints import via ``tq_tpu.utils.torch_import``.
+
+TR conversion follows the reference's module walk
+(``replace_lstm_layers``, evaluate_lstm.py:17-37): every ``nn.Linear``
+becomes a TR dense layer — that is the attention ``out_proj``, the two
+feed-forward linears, and the decoder (``in_proj`` is a raw Parameter,
+not a Linear, so it stays fp32 there and here).  The reference
+``TRLinearLayer`` computes-but-drops quantized inputs
+(tr_layer.py:153-154); ``quantize_input`` controls that here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tq_tpu.layers.common import TRParams
+from tq_tpu.layers.linear import (
+    finalize_quant_state,
+    init_quant_state,
+    tr_dense_apply,
+    tr_dense_convert,
+)
+
+__all__ = ["init", "apply", "convert", "make_quantized_apply", "finalize"]
+
+
+def _layer_names(nlayers: int):
+    for i in range(nlayers):
+        pre = f"transformer_encoder.layers.{i}"
+        yield i, pre
+
+
+def init(rng, vocab: int = 33278, emsize: int = 650, nhead: int = 2,
+         nhid: int = 650, nlayers: int = 2):
+    def dense(key, fi, fo):
+        bound = 1.0 / math.sqrt(fi)
+        k1, k2 = jax.random.split(key)
+        return {
+            "w": jax.random.uniform(k1, (fi, fo), minval=-bound, maxval=bound),
+            "b": jax.random.uniform(k2, (fo,), minval=-bound, maxval=bound),
+        }
+
+    params = {}
+    rng, k = jax.random.split(rng)
+    params["encoder"] = {"w": jax.random.uniform(
+        k, (vocab, emsize), minval=-0.1, maxval=0.1)}
+    for i, pre in _layer_names(nlayers):
+        keys = jax.random.split(rng, 6)
+        rng = keys[0]
+        params[f"{pre}.self_attn.in_proj"] = dense(keys[1], emsize, 3 * emsize)
+        params[f"{pre}.self_attn.out_proj"] = dense(keys[2], emsize, emsize)
+        params[f"{pre}.linear1"] = dense(keys[3], emsize, nhid)
+        params[f"{pre}.linear2"] = dense(keys[4], nhid, emsize)
+        params[f"{pre}.norm1"] = {"scale": jnp.ones(emsize), "bias": jnp.zeros(emsize)}
+        params[f"{pre}.norm2"] = {"scale": jnp.ones(emsize), "bias": jnp.zeros(emsize)}
+    rng, k = jax.random.split(rng)
+    params["decoder"] = dense(k, emsize, vocab)
+    return params
+
+
+def _layer_norm(p, x, eps=1e-5):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _positional_encoding(T: int, d: int):
+    pos = np.arange(T)[:, None]
+    div = np.exp(np.arange(0, d, 2) * (-math.log(10000.0) / d))
+    pe = np.zeros((T, d), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return jnp.asarray(pe)
+
+
+def _attention(params, pre, x, nhead: int):
+    """Causal multi-head self-attention on (T, B, d)."""
+    T, B, d = x.shape
+    hd = d // nhead
+    proj = params[f"{pre}.self_attn.in_proj"]
+    qkv = jnp.dot(x, proj["w"]) + proj["b"]  # (T, B, 3d)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):  # (T, B, d) -> (B, nhead, T, hd)
+        return t.reshape(T, B, nhead, hd).transpose(1, 2, 0, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(hd)
+    mask = jnp.tril(jnp.ones((T, T), bool))
+    scores = jnp.where(mask, scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
+    out = out.transpose(2, 0, 1, 3).reshape(T, B, d)
+    return out
+
+
+def apply(params, tokens, nhead: int = 2, qcfg=None, qstate=None,
+          track=False):
+    """(T, B) tokens -> (T*B, vocab) log-probs.
+
+    ``nhead`` is static (the reference default is 2, evaluate_lstm.py
+    --nhead).  When ``qcfg`` is given, the out_proj / linear1 / linear2 /
+    decoder matmuls run through TR dense layers; returns
+    (logp, new_qstate).
+    """
+    d = params["encoder"]["w"].shape[1]
+    nlayers = sum(1 for k in params if k.endswith(".linear1"))
+    T, B = tokens.shape
+    new_state = dict(qstate) if qstate is not None else None
+
+    def dense(name, x):
+        p = params[name]
+        if qcfg is not None and name in qcfg:
+            y, qs = tr_dense_apply(p, qcfg[name], new_state[name], x, track)
+            new_state[name] = qs
+            return y
+        return jnp.dot(x, p["w"]) + p["b"]
+
+    h = params["encoder"]["w"][tokens] * math.sqrt(d)
+    h = h + _positional_encoding(T, d)[:, None, :]
+    for i, pre in _layer_names(nlayers):
+        a = _attention(params, pre, h, nhead)
+        a = dense(f"{pre}.self_attn.out_proj", a)
+        h = _layer_norm(params[f"{pre}.norm1"], h + a)
+        f = dense(f"{pre}.linear2", jax.nn.relu(dense(f"{pre}.linear1", h)))
+        h = _layer_norm(params[f"{pre}.norm2"], h + f)
+    logits = dense("decoder", h.reshape(T * B, d))
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    if qcfg is not None:
+        return logp, new_state
+    return logp
+
+
+def convert(params, wb, gs, wt, db, dt, quantize_input: bool = False):
+    """TR-convert every Linear (out_proj, linear1/2 per layer, decoder)."""
+    tr = TRParams(wb, gs, wt, db, dt, quantize_input=quantize_input)
+    nlayers = sum(1 for k in params if k.endswith(".linear1"))
+    names = ["decoder"]
+    for i, pre in _layer_names(nlayers):
+        names += [f"{pre}.self_attn.out_proj", f"{pre}.linear1", f"{pre}.linear2"]
+    qparams = dict(params)
+    qcfg, qstate = {}, {}
+    for n in names:
+        qparams[n] = tr_dense_convert(params[n], tr)
+        qcfg[n] = tr
+        qstate[n] = init_quant_state()
+    return qparams, qcfg, qstate
+
+
+def make_quantized_apply(qcfg, track: bool, nhead: int = 2):
+    @jax.jit
+    def forward(qparams, qstate, tokens):
+        return apply(qparams, tokens, nhead=nhead, qcfg=qcfg,
+                     qstate=qstate, track=track)
+
+    return forward
+
+
+def finalize(qstate, qcfg):
+    return {
+        n: finalize_quant_state(qstate[n], qcfg[n].data_bits,
+                                qcfg[n].data_terms)
+        for n in qstate
+    }

@@ -95,6 +95,22 @@ def hese_digit_planes_np(q: np.ndarray, bits: int) -> np.ndarray:
     return out
 
 
+def binary_digit_planes(q, bits: int):
+    """Plain binary bit-plane expansion (reference ``expand_binary_bits``,
+    bit_utils.py:63-73): plane ``p`` is bit ``p`` of ``q`` in {0, 1}.
+
+    Together with :func:`hese_digit_planes` this supports the empirical
+    term-pair cost validation the reference does by convolving bit
+    planes (visualize/term_group_dist.py:101-110): the number of
+    term-pair multiplications of a dot product equals the sum over
+    plane pairs of (nonzero count in data plane) x (nonzero count in
+    weight plane).
+    """
+    T = num_planes(bits)
+    planes = [_bit(q, p) for p in range(T)]
+    return jnp.stack(planes, axis=-1).astype(jnp.int32)
+
+
 def hese_terms_count(q, bits: int):
     """Number of HESE terms per element (Hamming weight of the digit planes).
 

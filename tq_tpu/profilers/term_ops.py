@@ -162,6 +162,50 @@ def model_cost(
     return tmacs, pbits
 
 
+def cnn_cost(
+    specs,
+    settings,
+    data_bits: int,
+    data_terms: int,
+) -> tuple[int, float]:
+    """(tmacs, avg_terms) for a converted CNN, batch 1.
+
+    Replicates the reference's ``eval_model`` profile numbers
+    (evaluate_cnn.py:20-30): tmacs via the conv hook formula (stem /
+    grouped convs contribute zero), ``avg_terms`` = mean alpha over
+    ``tr_params[1:]`` (exempt layers included, ``compute_avg_terms``,
+    evaluate_cnn.py:13-18).  The third reference field, 'params', is
+    :func:`param_count` of the model tree.
+    """
+    tmacs = 0
+    for spec, (wb, gs, wt) in zip(specs, settings):
+        tr = TRParams(wb, gs, wt, data_bits, data_terms)
+        tmacs += conv2d_term_macs(
+            spec.out_elems, spec.in_ch, spec.kh, spec.kw, tr, spec.groups
+        )
+    alphas = [wt / gs for (_, gs, wt) in settings[1:]]
+    avg_terms = sum(alphas) / len(alphas)
+    return tmacs, avg_terms
+
+
+def param_count(params) -> int:
+    """Total learnable parameter elements (reference 'params' field).
+
+    Matches torch's ``sum(p.numel() for p in model.parameters())``:
+    BN running stats ('mean'/'var') and conversion byproducts ('w_sf')
+    are buffers, not parameters, and are excluded.
+    """
+    import jax
+
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = {getattr(k, "key", None) for k in path}
+        if keys & {"mean", "var", "w_sf", "hist", "sf"}:
+            continue
+        total += int(np.prod(np.asarray(leaf).shape))
+    return total
+
+
 def lstm_recurrent_term_macs(
     seq_len: int, batch: int, input_size: int, hidden: int, num_layers: int, tr: TRParams
 ) -> int:
