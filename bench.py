@@ -26,34 +26,79 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: first-ever run pays the (slow, remote)
+# compiles; repeat runs of the same configs start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tq_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 def _slope_time(step_fn, x, iters=24):
-    """Per-iteration seconds of ``step_fn`` chained ``iters`` times on device."""
+    """Per-iteration seconds of ``step_fn(x, sf)`` chained on device.
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def run(x, sfs, n: int):
-        def body(c, sf):
-            return step_fn(c, sf), None
-        c, _ = jax.lax.scan(body, x, sfs[:n])
-        return jnp.sum(c)
-
-    # Slightly varying scale factors defeat any result memoization and
-    # keep the chained values from reaching a fixed point.
-    sfs = jnp.float32(0.02) * (1.0 + 1e-4 * jnp.arange(iters))
+    The chain runs as ``iters`` dispatches of ONE compiled program (not
+    a lax.scan — remote compile of long unrolled/scanned kernels is
+    prohibitively slow on this rig), data-dependent through x, ending in
+    a scalar fetch that forces completion.  Per-iteration slope between
+    1 and ``iters`` chained calls cancels dispatch/transfer latency.
+    Slightly varying scale factors defeat result memoization and keep
+    the chain off fixed points.
+    """
+    total = jax.jit(jnp.sum)
+    sfs = [jnp.float32(0.02 * (1.0 + 1e-4 * i)) for i in range(iters)]
 
     def timed(n):
         t0 = time.perf_counter()
-        float(run(x, sfs, n))  # fetch forces true completion
+        c = x
+        for i in range(n):
+            c = step_fn(c, sfs[i])
+        float(total(c))  # fetch forces true completion
         return time.perf_counter() - t0
 
-    timed(1)  # compile n=1
-    timed(iters)  # compile n=iters
+    timed(1)  # compile
     t1 = min(timed(1) for _ in range(3))
     tn = min(timed(iters) for _ in range(3))
     return max(tn - t1, 1e-9) / (iters - 1)
 
 
+def bench_matmul():
+    """Secondary bench (``bench.py matmul``): fused quantize+matmul vs
+    the unfused tr_quantize -> XLA matmul composition, MLP/LSTM-decoder
+    scale."""
+    from tq_tpu.kernels.term_matmul import term_matmul
+    from tq_tpu.kernels.tr_quantize import tr_quantize
+
+    on_tpu = jax.default_backend() == "tpu"
+    M, K, N = 2048, 2048, 2048
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(M, K)), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(K, N)), jnp.float32)
+    bits, terms = 8, 3
+
+    def fused(c, sf):
+        return term_matmul(c, w, sf, bits, terms, interpret=not on_tpu)
+
+    def unfused(c, sf):
+        xq = tr_quantize(c, sf, bits, 1, terms, interpret=not on_tpu)
+        return jnp.dot(xq, w)
+
+    # Chain via the output projected back to (M, K) shape.
+    t_f = _slope_time(lambda c, sf: fused(c, sf)[:, :K] * 1e-3, x)
+    t_u = _slope_time(lambda c, sf: unfused(c, sf)[:, :K] * 1e-3, x)
+    tflops = 2 * M * K * N / t_f / 1e12
+    print(json.dumps({
+        "metric": "term_matmul_fused",
+        "value": round(tflops, 3),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(t_u / t_f, 3),
+    }))
+
+
 def main():
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "matmul":
+        bench_matmul()
+        return
     from tq_tpu.kernels.tr_quantize import tr_quantize
     from tq_tpu.ops.term_reveal import term_reveal
 

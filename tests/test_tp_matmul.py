@@ -1,0 +1,53 @@
+"""Tensor-parallel term-matmul vs single-device reference (8-dev mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tq_tpu.kernels.term_matmul import term_matmul
+from tq_tpu.parallel.mesh import make_mesh
+from tq_tpu.parallel.tp import tp_term_matmul_col, tp_term_matmul_row
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(n_data=2, n_model=4)
+
+
+@pytest.fixture(scope="module")
+def operands():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 128)) * 0.1, jnp.float32)
+    return x, w
+
+
+def test_column_parallel_matches(mesh, operands):
+    x, w = operands
+    sf = jnp.float32(0.04)
+    ref = term_matmul(x, w, sf, 8, 3)
+    out = tp_term_matmul_col(x, w, sf, 8, 3, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_row_parallel_matches(mesh, operands):
+    x, w = operands
+    sf = jnp.float32(0.04)
+    ref = term_matmul(x, w, sf, 8, 3)
+    out = tp_term_matmul_row(x, w, sf, 8, 3, mesh)
+    # psum reassociates the K-dim sum; fp tolerance only.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_column_parallel_under_jit(mesh, operands):
+    x, w = operands
+    sf = jnp.float32(0.04)
+    f = jax.jit(lambda x, w, sf: tp_term_matmul_col(x, w, sf, 8, 3, mesh))
+    out = f(x, w, sf)
+    ref = term_matmul(x, w, sf, 8, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

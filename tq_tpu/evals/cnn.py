@@ -140,6 +140,15 @@ def run_sweep(
         key: {"accs": [], "tmacs": [], "avg_terms": [], "params": []}
         for key in ["quant"] + [f"tr-data{d}" for d in tr_data_terms]
     }
+    # Crash resume: pick up a partial results file and skip what's done
+    # (the reference loses the whole sweep on a crash, SURVEY.md §5).
+    done = {key: 0 for key in results}
+    if out_file and Path(out_file).exists():
+        prior = json.loads(Path(out_file).read_text())
+        for key in results:
+            if key in prior and prior[key]["accs"]:
+                results[key] = prior[key]
+                done[key] = len(prior[key]["accs"])
 
     def record(key, res):
         acc, tmacs, avg_terms, n_params = res
@@ -156,10 +165,14 @@ def run_sweep(
 
     kw = dict(arch=arch, data_dir=data_dir, batch_size=batch_size,
               n_synth=n_synth)
-    for wb in uq_bits:  # evaluate_cnn.py:95-109
+    for i, wb in enumerate(uq_bits):  # evaluate_cnn.py:95-109
+        if i < done["quant"]:
+            continue
         record("quant", eval_setting(m, params, wb, 1, 9, 9, 9, **kw))
     for dt in tr_data_terms:  # evaluate_cnn.py:111-127
-        for wt in tr_weight_terms:
+        for j, wt in enumerate(tr_weight_terms):
+            if j < done[f"tr-data{dt}"]:
+                continue
             record(f"tr-data{dt}",
                    eval_setting(m, params, 9, 8, wt, 9, dt, **kw))
     return results

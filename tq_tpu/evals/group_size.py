@@ -24,10 +24,15 @@ def run_grid(arch: str = "resnet18", checkpoint=None, data_dir=None,
              group_sizes=GROUP_SIZES, alphas=ALPHAS, verbose=True):
     m, params = load_params(arch, checkpoint)
     results = {}
+    if out_file and Path(out_file).exists():  # crash resume
+        results = json.loads(Path(out_file).read_text())
     for g in group_sizes:
         key = str(g)
-        results[key] = {"avg_terms": [], "accs": [], "tmacs": []}
-        for alpha in alphas:
+        results.setdefault(key, {"avg_terms": [], "accs": [], "tmacs": []})
+        done = len(results[key]["accs"])
+        for ai, alpha in enumerate(alphas):
+            if ai < done:
+                continue
             wt = round(alpha * g)
             acc, tmacs, avg_terms, _ = eval_setting(
                 m, params, 9, g, wt, 9, 3, arch=arch, data_dir=data_dir,

@@ -109,7 +109,15 @@ def run_sweep(wb, wt, db, dt, gs, out_file=None, checkpoint=None,
     stream = batchify(np.asarray(test), EVAL_BATCH)
 
     results = {"ppls": [], "tmacs": [], "param_bits": []}
-    for setting in zip(wb, wt, db, dt, gs):
+    # Crash resume: skip settings already present in a partial out_file.
+    if out_file and Path(out_file).exists():
+        prior = json.loads(Path(out_file).read_text())
+        if prior.get("ppls"):
+            results = prior
+    skip = len(results["ppls"])
+    for i, setting in enumerate(zip(wb, wt, db, dt, gs)):
+        if i < skip:
+            continue
         ppl, tmacs, bits = evaluate_setting(
             params, *setting, stream=stream, vocab=vocab
         )

@@ -102,7 +102,15 @@ def run_sweep(
         print(f"eval data source: {source}")
 
     results = {"accs": [], "tmacs": [], "param_bits": []}
-    for setting in zip(wb, wt, db, dt, gs):
+    # Crash resume: skip settings already present in a partial out_file.
+    if out_file and Path(out_file).exists():
+        prior = json.loads(Path(out_file).read_text())
+        if prior.get("accs"):
+            results = prior
+    skip = len(results["accs"])
+    for i, setting in enumerate(zip(wb, wt, db, dt, gs)):
+        if i < skip:
+            continue
         acc, tmacs, bits = evaluate_setting(
             params, *setting, x_test=x_test, y_test=y_test,
             quantize_input=quantize_input,

@@ -1,0 +1,129 @@
+"""Fused activation-term-reveal + matmul Pallas kernel.
+
+This is the TPU stand-in for the reference's hardware execution path
+(verilog/ systolic array: HESE-encoded operands enter the array, the
+comparator/truncator applies the term budget on the fly,
+``mac.v``/``coe_acc.v`` accumulate exponent-pairs).  On TPU the
+speed-of-light realization is different (SURVEY.md §7 hard-part 3): the
+MXU multiplies dense tiles at peak regardless of term sparsity, so the
+win is *fusion* — quantize the activation tile in VMEM registers and
+feed the MXU directly, never materializing the fake-quantized tensor in
+HBM.  Versus the unfused path (tr_quantize kernel -> XLA matmul) this
+removes one full HBM write + read of the activations.
+
+The weight operand arrives already term-revealed (conversion-time, like
+the reference's ``TRConv2dLayer.__init__`` weight pass); activations are
+quantized per-element with the calibrated scale (group_size=1, the only
+activation grouping the reference ever uses).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tq_tpu.kernels.tr_quantize import _quantize, _topk_value
+
+__all__ = ["term_matmul"]
+
+
+def _tr_tile(x, sf, bits: int, budget: int):
+    """Term-reveal one VMEM tile (g=1); returns dequantized fp values."""
+    q, sign = _quantize(x, sf, bits)
+    acc = _topk_value(q, bits, budget)
+    return sign * acc.astype(x.dtype) * sf
+
+
+def _body(sf_ref, x_ref, w_ref, o_ref, acc_ref, *, bits, budget, n_k, bf16):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xq = _tr_tile(x_ref[:], sf_ref[0], bits, budget)
+    w = w_ref[:]
+    if bf16:
+        xq = xq.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(xq, w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _pad_to(n, m):
+    return -(-n // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "num_keep_terms", "bf16", "interpret",
+                     "bm", "bk", "bn"),
+)
+def term_matmul(
+    x,
+    w,
+    sf,
+    bits: int = 8,
+    num_keep_terms: int = 8,
+    bf16: bool = False,
+    interpret: bool | None = None,
+    bm: int = 256,
+    bk: int = 512,
+    bn: int = 512,
+):
+    """``tr_quantize(x, sf, bits, 1, k) @ w`` in one fused kernel.
+
+    Args:
+      x: (M, K) raw activations.
+      w: (K, N) term-revealed weights (fp values, conversion-time output).
+      sf: calibrated activation scale (SMEM; no recompile per scale).
+      bf16: cast both MXU operands to bfloat16.  Safe when
+        ``bits - num_keep_terms`` keeps quantized magnitudes within
+        bf16's 8-bit mantissa (e.g. any setting with <= 8-term values);
+        full f32 otherwise.
+
+    Returns (M, N) float32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2, (x.shape, w.shape)
+    sf_arr = jnp.asarray(sf, jnp.float32).reshape(1)
+
+    bm = min(bm, _pad_to(M, 8))
+    bk = min(bk, _pad_to(K, 128))
+    bn = min(bn, _pad_to(N, 128))
+    Mp, Kp, Np = _pad_to(M, bm), _pad_to(K, bk), _pad_to(N, bn)
+    xp = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
+    wp = jnp.pad(w, ((0, Kp - K), (0, Np - N)))
+    n_k = Kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_body, bits=bits, budget=num_keep_terms,
+                          n_k=n_k, bf16=bf16),
+        grid=(Mp // bm, Np // bn, n_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(sf_arr, xp, wp)
+    return out[:M, :N]
