@@ -63,27 +63,35 @@ def _slope_time(step_fn, x, iters=24):
 
 def bench_matmul():
     """Secondary bench (``bench.py matmul``): fused quantize+matmul vs
-    the unfused tr_quantize -> XLA matmul composition, MLP/LSTM-decoder
-    scale."""
+    the unfused tr_quantize -> XLA matmul composition (both bf16 MXU
+    operands — exact for 8-bit quantization grids), at a
+    bandwidth-leaning shape where fusion's saved HBM round-trip of the
+    quantized activations shows."""
     from tq_tpu.kernels.term_matmul import term_matmul
     from tq_tpu.kernels.tr_quantize import tr_quantize
 
     on_tpu = jax.default_backend() == "tpu"
-    M, K, N = 2048, 2048, 2048
+    M, K, N = 8192, 2048, 512
     x = jnp.asarray(np.random.default_rng(0).normal(size=(M, K)), jnp.float32)
     w = jnp.asarray(np.random.default_rng(1).normal(size=(K, N)), jnp.float32)
+    wb = w.astype(jnp.bfloat16)
     bits, terms = 8, 3
+    reps = -(-K // N)
+
+    def back(y):  # project (M, N) back to the (M, K) chain input
+        return jnp.tile(y, (1, reps))[:, :K] * 1e-3
 
     def fused(c, sf):
-        return term_matmul(c, w, sf, bits, terms, interpret=not on_tpu)
+        return back(term_matmul(c, w, sf, bits, terms, bf16=True,
+                                interpret=not on_tpu))
 
     def unfused(c, sf):
         xq = tr_quantize(c, sf, bits, 1, terms, interpret=not on_tpu)
-        return jnp.dot(xq, w)
+        return back(jnp.dot(xq.astype(jnp.bfloat16), wb,
+                            preferred_element_type=jnp.float32))
 
-    # Chain via the output projected back to (M, K) shape.
-    t_f = _slope_time(lambda c, sf: fused(c, sf)[:, :K] * 1e-3, x)
-    t_u = _slope_time(lambda c, sf: unfused(c, sf)[:, :K] * 1e-3, x)
+    t_f = _slope_time(fused, x)
+    t_u = _slope_time(unfused, x)
     tflops = 2 * M * K * N / t_f / 1e12
     print(json.dumps({
         "metric": "term_matmul_fused",

@@ -144,6 +144,9 @@ def run(cfg: RunConfig):
 
 
 def main(argv=None):
+    from tq_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import argparse
 
     ap = argparse.ArgumentParser(description="Run a declarative sweep config")

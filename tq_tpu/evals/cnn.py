@@ -179,6 +179,9 @@ def run_sweep(
 
 
 def main(argv=None):
+    from tq_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="ImageNet CNN UQ/TR sweep")
     ap.add_argument("-a", "--arch", default="resnet18", choices=ARCHS)
     ap.add_argument("--val-dir", default=None,

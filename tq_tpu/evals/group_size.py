@@ -51,6 +51,9 @@ def run_grid(arch: str = "resnet18", checkpoint=None, data_dir=None,
 
 
 def main(argv=None):
+    from tq_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="TR group-size grid search")
     ap.add_argument("-a", "--arch", default="resnet18", choices=ARCHS)
     ap.add_argument("--val-dir", default=None)

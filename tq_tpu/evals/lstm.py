@@ -87,8 +87,47 @@ def evaluate_setting(params, wb, wt, db, dt, gs, stream, vocab,
     return ppl, tmacs, param_bits
 
 
+def evaluate_setting_transformer(params, wb, wt, db, dt, gs, stream, vocab,
+                                 bptt: int = BPTT):
+    """Transformer-LM sweep point (the reference's --model Transformer
+    path, lstm_models/model.py:108-152; its committed evaluate() only
+    exercises the LSTM, so this is the working equivalent).
+
+    tmacs counts every converted linear on one bptt chunk (out_proj +
+    ffn pair per layer + decoder); param_bits counts the same weights.
+    """
+    from tq_tpu.models import transformer_lm
+    from tq_tpu.profilers import dense_param_bits
+
+    qparams, qcfg, qstate = transformer_lm.convert(params, wb, gs, wt, db, dt)
+    track = transformer_lm.make_quantized_apply(qcfg, track=True)
+    total_loss = 0.0
+    for x, y in _chunks(stream, bptt):
+        _, qstate = track(qparams, qstate, jnp.asarray(x))
+    qstate = transformer_lm.finalize(qstate, qcfg)
+    ev = transformer_lm.make_quantized_apply(qcfg, track=False)
+    for x, y in _chunks(stream, bptt):
+        logp, _ = ev(qparams, qstate, jnp.asarray(x))
+        nll = -jnp.take_along_axis(
+            logp, jnp.asarray(y)[:, None], axis=1).mean()
+        total_loss += len(x) * float(nll)
+    ppl = math.exp(total_loss / (len(stream) - 1))
+
+    tr = TRParams(wb, gs, wt, db, dt)
+    tmacs = 0
+    bits = 0
+    B = stream.shape[1]
+    for name in qcfg:
+        w = qparams[name]["w"]
+        out_elems = bptt * B * w.shape[1]
+        tmacs += dense_term_macs(out_elems, w.shape[0], tr)
+        bits += dense_param_bits(w, qparams[name]["w_sf"], tr)
+    return ppl, tmacs, bits
+
+
 def run_sweep(wb, wt, db, dt, gs, out_file=None, checkpoint=None,
-              data_dir=None, limit_tokens=None, verbose=True):
+              data_dir=None, limit_tokens=None, verbose=True,
+              model: str = "LSTM"):
     from tq_tpu.data.wikitext import batchify, load_corpus
 
     corpus, source = load_corpus(data_dir)
@@ -98,10 +137,14 @@ def run_sweep(wb, wt, db, dt, gs, out_file=None, checkpoint=None,
 
     if checkpoint:
         params = _load_checkpoint(checkpoint, vocab)
-    else:
+    elif model == "Transformer":
         import jax
+        from tq_tpu.models import transformer_lm
 
-        params = lstm_lm.init(jax.random.PRNGKey(0), vocab=vocab)
+        params = transformer_lm.init(jax.random.PRNGKey(0), vocab=vocab)
+    else:
+        params = lstm_lm.init(__import__("jax").random.PRNGKey(0),
+                              vocab=vocab)
 
     test = corpus.test
     if limit_tokens:
@@ -118,9 +161,14 @@ def run_sweep(wb, wt, db, dt, gs, out_file=None, checkpoint=None,
     for i, setting in enumerate(zip(wb, wt, db, dt, gs)):
         if i < skip:
             continue
-        ppl, tmacs, bits = evaluate_setting(
-            params, *setting, stream=stream, vocab=vocab
-        )
+        if model == "Transformer":
+            ppl, tmacs, bits = evaluate_setting_transformer(
+                params, *setting, stream=stream, vocab=vocab
+            )
+        else:
+            ppl, tmacs, bits = evaluate_setting(
+                params, *setting, stream=stream, vocab=vocab
+            )
         results["ppls"].append(ppl)
         results["tmacs"].append(float(tmacs))
         results["param_bits"].append(float(bits))
@@ -156,6 +204,9 @@ def _load_checkpoint(path, vocab):
 
 
 def main(argv=None):
+    from tq_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="Wikitext-2 LSTM UQ/TR sweep")
     ap.add_argument("--wb", nargs="+", type=int, required=True)
     ap.add_argument("--wt", nargs="+", type=int, required=True)
@@ -166,9 +217,10 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--data", default=None)
     ap.add_argument("--limit-tokens", type=int, default=None)
+    ap.add_argument("--model", default="LSTM", choices=["LSTM", "Transformer"])
     a = ap.parse_args(argv)
     run_sweep(a.wb, a.wt, a.db, a.dt, a.gs, a.out_file, a.checkpoint,
-              a.data, a.limit_tokens)
+              a.data, a.limit_tokens, model=a.model)
 
 
 if __name__ == "__main__":

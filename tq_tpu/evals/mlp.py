@@ -128,6 +128,9 @@ def run_sweep(
 
 
 def main(argv=None):
+    from tq_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="MNIST MLP UQ/TR sweep")
     ap.add_argument("--wb", nargs="+", type=int, required=True)
     ap.add_argument("--wt", nargs="+", type=int, required=True)

@@ -134,6 +134,9 @@ def train(epochs: int = 40, batch_size: int = 20, bptt: int = 35,
 
 
 def main(argv=None):
+    from tq_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch-size", type=int, default=20)

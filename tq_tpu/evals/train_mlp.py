@@ -100,6 +100,9 @@ def load_or_train(path: str = "pretrained/mnist_mlp.npz", **kw):
 
 
 if __name__ == "__main__":
+    from tq_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--batch-size", type=int, default=64)

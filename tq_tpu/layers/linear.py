@@ -61,7 +61,8 @@ def tr_dense_convert(params, tr: TRParams):
     return out
 
 
-def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool):
+def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool,
+                   use_fused: bool | None = None):
     """Forward through a converted dense layer.
 
     track=True  (phase 1): accumulate the input histogram, compute with
@@ -69,13 +70,28 @@ def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool):
     track=False (phase 2): fake-quantize inputs per element with the
                 calibrated scale (unless tr.quantize_input is False,
                 reproducing the reference's TRLinearLayer), then matmul.
+                On TPU the quantize+matmul runs as ONE fused Pallas
+                kernel (``use_fused``; auto on TPU for 2-D inputs) so
+                the quantized activations never touch HBM.
 
     Returns (y, updated_qs).
     """
+    import jax
+
     if track:
         qs = {**qs, "hist": histogram_update(qs["hist"], x)}
         xq = x
     elif tr.quantize_input:
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu" and x.ndim == 2
+        if use_fused:
+            from tq_tpu.kernels.term_matmul import term_matmul
+
+            y = term_matmul(x, qp["w"], qs["sf"], tr.data_bits,
+                            tr.data_terms)
+            if qp.get("b") is not None:
+                y = y + qp["b"]
+            return y, qs
         xq = act_quantize(x, qs["sf"], tr.data_bits, tr.data_terms)
     else:
         xq = x
