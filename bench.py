@@ -33,7 +33,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def _slope_time(step_fn, x, iters=24):
+def _slope_time(step_fn, x, iters=100):
     """Per-iteration seconds of ``step_fn(x, sf)`` chained on device.
 
     The chain runs as ``iters`` dispatches of ONE compiled program (not

@@ -72,12 +72,16 @@ def test_tmacs_matches_published_anchor():
     tr = TRParams(5, 1, 5, 8, 8)
     tmacs = dense_term_macs(35 * 10 * 33278, 650, tr)
     assert tmacs == 8 * 5 * 35 * 10 * 33278 * 650
-    import json
+    # Published lstm-quant.json tmacs[0] (the reference accumulated
+    # total_ops in a float32 torch buffer, so its committed value is
+    # float32(exact); ours is the exact integer).
+    assert float(np.float32(tmacs)) == 302829797376.0
+    import json, os
 
-    ref = json.load(open("/root/reference/results/lstm-quant.json"))
-    # The reference accumulated total_ops in a float32 torch buffer, so
-    # its committed value is float32(exact); ours is the exact integer.
-    assert float(np.float32(tmacs)) == ref["tmacs"][0]
+    ref_path = "/root/reference/results/lstm-quant.json"
+    if os.path.exists(ref_path):
+        ref = json.load(open(ref_path))
+        assert float(np.float32(tmacs)) == ref["tmacs"][0]
 
 
 def test_corpus_tokenize(tmp_path):

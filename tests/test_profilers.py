@@ -109,7 +109,7 @@ def test_compressed_hese_bits_matches_scalar_reference(rng):
     w_sf = 0.01
     wq = (rng.integers(-255, 256, size=(64,)) * w_sf).astype(np.float32)
     got = compressed_hese_bits(wq, w_sf, weight_terms=16, weight_bits=9)
-    per_term = 4 + 2  # ceil(log2(16)) + sign + barrier
+    per_term = 4 + 2  # ceil(log2(weight_bits=9)) + sign + barrier
     want = per_term * sum(
         len(hese_encode_oracle(float(v), w_sf, 10)) for v in wq
     )

@@ -92,8 +92,19 @@ def eval_setting(
     batch_size: int = 64,
     calib_pct: float = 0.05,
     n_synth: int = 512,
+    mesh=None,
 ):
-    """One (wb, gs, wt, db, dt) setting -> (acc%, tmacs, avg_terms, params)."""
+    """One (wb, gs, wt, db, dt) setting -> (acc%, tmacs, avg_terms, params).
+
+    Batches run through ONE jitted SPMD program sharded over the mesh's
+    'data' axis (the nn.DataParallel replacement, SURVEY.md §2.4); on a
+    single chip the mesh is 1x1 and this degenerates to plain jit.
+    """
+    from tq_tpu.parallel.mesh import local_mesh
+    from tq_tpu.parallel.sharding import shard_batch
+
+    if mesh is None:
+        mesh = local_mesh()
     specs = m.conv_specs()
     settings = static_conv_layer_settings(specs, wb, gs, wt)
     tmacs, avg_terms = cnn_cost(specs, settings, db, dt)
@@ -108,7 +119,7 @@ def eval_setting(
     track_fwd = make_cnn_apply(m, qcfg, track=True)
     seen = 0
     for x, y in batches:
-        _, qstate = track_fwd(qparams, qstate, jnp.asarray(x))
+        _, qstate = track_fwd(qparams, qstate, shard_batch(jnp.asarray(x), mesh))
         seen += len(y)
         if seen >= n_calib:
             break
@@ -117,7 +128,7 @@ def eval_setting(
     eval_fwd = make_cnn_apply(m, qcfg, track=False)
     correct = 0
     for x, y in batches:
-        logits, _ = eval_fwd(qparams, qstate, jnp.asarray(x))
+        logits, _ = eval_fwd(qparams, qstate, shard_batch(jnp.asarray(x), mesh))
         correct += int(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
     acc = 100.0 * correct / total
     return acc, tmacs, avg_terms, n_params

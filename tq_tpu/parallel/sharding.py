@@ -42,6 +42,14 @@ def batch_spec() -> P:
     return P("data")
 
 
+def shard_batch(x, mesh: Mesh):
+    """device_put ``x`` batch-sharded over 'data' (replicated when the
+    batch does not divide the axis — e.g. a tail batch)."""
+    n = mesh.shape["data"]
+    spec = P("data") if x.shape[0] % n == 0 else P()
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def shard_pytree(tree, specs, mesh: Mesh):
     """Device-put ``tree`` with per-leaf PartitionSpecs.
 

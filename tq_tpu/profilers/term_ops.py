@@ -93,15 +93,20 @@ def compressed_hese_bits(w, w_sf, weight_terms: int, weight_bits: int) -> int:
     """Compressed-HESE storage bits of a quantized weight tensor.
 
     Reference ``compute_compressed_hese`` (tr_layer.py:57-63): each term
-    costs ``ceil(log2(weight_terms)) + 2`` bits (exponent + sign +
-    barrier); total = per-term cost * number of HESE terms of
-    ``int(w / w_sf)``.
+    costs ``ceil(log2(B)) + 2`` bits (exponent index + sign + barrier);
+    total = per-term cost * number of HESE terms of ``int(w / w_sf)``.
+    NB the parameter the reference names ``weight_terms`` actually
+    receives **weight_bits** at its only call site
+    (``profile_model.py:44``) — the exponent index addresses one of the
+    ``weight_bits`` magnitude positions, so that is also the semantically
+    right base.  ``weight_terms`` is accepted here for signature parity
+    but unused, matching the reference's observable behaviour.
 
     Note the reference truncates toward zero (``.int()``) on the
     *already term-revealed* weights, whose magnitudes are exact multiples
     of ``w_sf`` — so truncation == exact division there.
     """
-    exp_bits = math.ceil(math.log2(weight_terms))
+    exp_bits = math.ceil(math.log2(weight_bits))
     per_term = exp_bits + 2
     q = jnp.abs(jnp.trunc(jnp.asarray(w) / w_sf)).astype(jnp.int32)
     nterms = int(jnp.sum(hese_terms_count(q, weight_bits + 1)))

@@ -1,8 +1,26 @@
-"""Progress meters (equivalent of util.py:83-121)."""
+"""Progress meters + accuracy (equivalent of util.py:83-133)."""
 
 from __future__ import annotations
 
-__all__ = ["AverageMeter", "ProgressMeter"]
+__all__ = ["AverageMeter", "ProgressMeter", "accuracy"]
+
+
+def accuracy(output, target, topk=(1,)):
+    """Top-k accuracies in percent (util.py:124-133).
+
+    ``output``: (N, C) scores; ``target``: (N,) labels.  Returns one
+    float per k.
+    """
+    import jax.numpy as jnp
+
+    maxk = max(topk)
+    n = output.shape[0]
+    # top-maxk predictions per row, descending score
+    pred = jnp.argsort(output, axis=1)[:, ::-1][:, :maxk]
+    correct = pred == target[:, None]
+    return [
+        float(100.0 * jnp.sum(correct[:, :k]) / n) for k in topk
+    ]
 
 
 class AverageMeter:
