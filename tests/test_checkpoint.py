@@ -1,0 +1,53 @@
+"""Checkpoint round trips: npz (default) and orbax (sharded backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tq_tpu.utils.checkpoint import (
+    load_params,
+    load_params_orbax,
+    save_params,
+    save_params_orbax,
+)
+
+
+def _tree():
+    return {
+        "enc": {"w": jnp.arange(12.0).reshape(3, 4)},
+        "rnn": [{"w_ih": jnp.ones((2, 8))}, {"w_ih": jnp.zeros((2, 8))}],
+        "sf": jnp.float32(0.05),
+    }
+
+
+def test_npz_roundtrip(tmp_path):
+    p = tmp_path / "ck.npz"
+    save_params(p, _tree())
+    back = load_params(p)
+    np.testing.assert_array_equal(back["enc"]["w"],
+                                  np.arange(12).reshape(3, 4))
+    assert isinstance(back["rnn"], list) and len(back["rnn"]) == 2
+    assert float(back["sf"]) == np.float32(0.05)
+
+
+def test_npz_calibration_state_roundtrip(tmp_path):
+    """Quantizer state (histogram + scale) checkpoints like params —
+    the sweep-resumability requirement (SURVEY.md §5)."""
+    from tq_tpu.layers.linear import init_quant_state
+
+    qs = {"fc1": init_quant_state(), "fc2": init_quant_state()}
+    qs["fc1"]["sf"] = jnp.float32(0.125)
+    p = tmp_path / "qs.npz"
+    save_params(p, qs)
+    back = load_params(p)
+    assert float(back["fc1"]["sf"]) == 0.125
+    assert back["fc2"]["hist"].shape == (8192,)
+
+
+def test_orbax_roundtrip(tmp_path):
+    p = tmp_path / "orbax_ck"
+    tree = _tree()
+    save_params_orbax(p, tree)
+    back = load_params_orbax(p, like=tree)
+    np.testing.assert_array_equal(np.asarray(back["enc"]["w"]),
+                                  np.arange(12).reshape(3, 4))

@@ -43,6 +43,23 @@ def test_row_parallel_matches(mesh, operands):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_overlap_collective_matmul_matches(mesh, operands):
+    """Ring all-gather-overlap matmul == single-device result.
+
+    NB the block each step multiplies is device (me+step)%n's x K-block
+    against the same rows of the local W columns — sum over steps covers
+    every K-block exactly once.
+    """
+    from tq_tpu.parallel.tp import tp_term_matmul_overlap
+
+    x, w = operands
+    sf = jnp.float32(0.04)
+    ref = term_matmul(x, w, sf, 8, 3)
+    out = tp_term_matmul_overlap(x, w, sf, 8, 3, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_column_parallel_under_jit(mesh, operands):
     x, w = operands
     sf = jnp.float32(0.04)

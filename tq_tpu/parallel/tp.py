@@ -22,7 +22,8 @@ from jax.experimental.shard_map import shard_map
 
 from tq_tpu.kernels.term_matmul import term_matmul
 
-__all__ = ["tp_term_matmul_col", "tp_term_matmul_row"]
+__all__ = ["tp_term_matmul_col", "tp_term_matmul_row",
+           "tp_term_matmul_overlap"]
 
 
 def tp_term_matmul_col(x, w, sf, bits: int, num_keep_terms: int, mesh: Mesh):
@@ -42,6 +43,50 @@ def tp_term_matmul_col(x, w, sf, bits: int, num_keep_terms: int, mesh: Mesh):
     )
     def f(x, w_shard, sf):
         return term_matmul(x, w_shard, sf, bits, num_keep_terms)
+
+    return f(x, w, sf)
+
+
+def tp_term_matmul_overlap(x, w, sf, bits: int, num_keep_terms: int,
+                           mesh: Mesh):
+    """Collective matmul: ring all-gather of x overlapped with compute.
+
+    Layout: x (M, K) sharded over K on 'model'; w (K, N) sharded over N.
+    Each device owns one K-block of x and all K-rows of its N-columns.
+    Instead of all-gathering x up front (one big collective, then one
+    big matmul), the K-blocks travel a ring: every step multiplies the
+    block just received against the matching W rows while ``ppermute``
+    ships the block onward — XLA schedules the transfer concurrently
+    with the MXU work, hiding the ICI latency (the scaling-book
+    "collective matmul"; the north star's overlap requirement).
+    """
+    n = mesh.shape["model"]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, "model"), P(None, "model"), P()),
+        out_specs=P(None, "model"),
+        check_rep=False,
+    )
+    def f(x_blk, w_cols, sf):
+        import jax.numpy as jnp
+
+        me = jax.lax.axis_index("model")
+        kn = x_blk.shape[1]  # K / n
+        acc = jnp.zeros((x_blk.shape[0], w_cols.shape[1]), jnp.float32)
+        blk = x_blk
+        for step in range(n):
+            src = (me + step) % n  # owner of the block currently held
+            w_rows = jax.lax.dynamic_slice(
+                w_cols, (src * kn, 0), (kn, w_cols.shape[1])
+            )
+            acc = acc + term_matmul(blk, w_rows, sf, bits, num_keep_terms)
+            if step < n - 1:
+                blk = jax.lax.ppermute(
+                    blk, "model",
+                    [(i, (i - 1) % n) for i in range(n)],
+                )
+        return acc
 
     return f(x, w, sf)
 

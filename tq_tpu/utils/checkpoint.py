@@ -70,3 +70,25 @@ def load_params(path: str | Path):
     with np.load(Path(path), allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
     return unflatten_tree(flat)
+
+
+def save_params_orbax(path: str | Path, tree):
+    """Orbax backend for sharded / large checkpoints.
+
+    npz round-trips host arrays; for multi-host or model-parallel
+    params (sharded jax.Arrays) orbax writes each shard from its owner
+    process.  Use this on pods, npz everywhere else.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(Path(path).resolve(), tree, force=True)
+
+
+def load_params_orbax(path: str | Path, like=None):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(Path(path).resolve(), like)
+        return ckptr.restore(Path(path).resolve())
