@@ -101,11 +101,55 @@ def bench_matmul():
     }))
 
 
+def bench_resnet():
+    """``bench.py resnet``: end-to-end TR-quantized ResNet-18 inference
+    throughput (imgs/s) on one chip, vs the fp32 forward as baseline."""
+    import jax.random as jrandom
+
+    from tq_tpu.convert import convert_cnn, static_conv_layer_settings
+    from tq_tpu.convert.cnn import make_cnn_apply
+    from tq_tpu.models import resnet
+
+    params = resnet.init(jrandom.PRNGKey(0))
+    specs = resnet.conv_specs()
+    settings = static_conv_layer_settings(specs, 9, 8, 12)
+    qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 9, 3)
+    qstate = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qstate.items()}
+    fwd = make_cnn_apply(resnet, qcfg, track=False)
+    fp32 = jax.jit(lambda x: resnet.apply(params, x))
+
+    batch = 64
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 224, 224, 3)),
+        jnp.float32,
+    )
+
+    def q_step(c, sf):
+        logits, _ = fwd(qparams, qstate, c * (1.0 + 0.0 * sf))
+        # fold logits back into the chained image batch (data dependency)
+        return c + 1e-9 * jnp.mean(logits)
+
+    def f_step(c, sf):
+        return c + 1e-9 * jnp.mean(fp32(c * (1.0 + 0.0 * sf)))
+
+    t_q = _slope_time(q_step, x, iters=50)
+    t_f = _slope_time(f_step, x, iters=50)
+    print(json.dumps({
+        "metric": "resnet18_tr_inference",
+        "value": round(batch / t_q, 1),
+        "unit": "imgs/s",
+        "vs_baseline": round(t_f / t_q, 3),
+    }))
+
+
 def main():
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "matmul":
         bench_matmul()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "resnet":
+        bench_resnet()
         return
     from tq_tpu.kernels.tr_quantize import tr_quantize
     from tq_tpu.ops.term_reveal import term_reveal

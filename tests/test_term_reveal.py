@@ -84,3 +84,32 @@ def test_dtype_and_shape_preserved(rng):
     x = rng.normal(size=(4, 32, 3, 3)).astype(np.float32)
     out = term_reveal(x, 0.1, 8, 8, 12, axis=1)
     assert out.shape == x.shape and out.dtype == x.dtype
+
+
+def test_serial_keep_mode_models_hardware_truncator():
+    """'serial' keeps the FIRST budget terms LSB-first (the FPGA
+    comparator/truncator, concatenator_truncator.v:33-52), unlike the
+    CUDA kernel's largest-first merge."""
+    import jax.numpy as jnp
+
+    # 21 = 10101b -> HESE terms {+16, +4, +1}; sf=1, one group of 1.
+    x = jnp.asarray([21.0])
+    largest = term_reveal(x, 1.0, 6, 1, 2, axis=0)
+    serial = term_reveal(x, 1.0, 6, 1, 2, axis=0, keep_mode="serial")
+    assert float(largest[0]) == 20.0  # 16 + 4
+    assert float(serial[0]) == 5.0    # 1 + 4
+    # Unbounded budget: both reconstruct exactly.
+    assert float(term_reveal(x, 1.0, 6, 1, 8, axis=0,
+                             keep_mode="serial")[0]) == 21.0
+
+
+def test_serial_keep_mode_grouped():
+    import jax.numpy as jnp
+
+    # Group of 2: values 5 (101 -> {4,1}) and 2 ({2}); budget 2.
+    x = jnp.asarray([5.0, 2.0])
+    out = term_reveal(x, 1.0, 4, 2, 2, axis=0, keep_mode="serial")
+    # LSB-first serial order: plane0 of elem0 (+1), plane1 of elem1 (+2).
+    assert out.tolist() == [1.0, 2.0]
+    out_l = term_reveal(x, 1.0, 4, 2, 2, axis=0)
+    assert out_l.tolist() == [4.0, 2.0]  # largest-first: 4, then 2 beats 1

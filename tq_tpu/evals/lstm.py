@@ -135,16 +135,16 @@ def run_sweep(wb, wt, db, dt, gs, out_file=None, checkpoint=None,
     if verbose:
         print(f"corpus source: {source}; vocab={vocab}")
 
+    import jax
+
     if checkpoint:
         params = _load_checkpoint(checkpoint, vocab)
     elif model == "Transformer":
-        import jax
         from tq_tpu.models import transformer_lm
 
         params = transformer_lm.init(jax.random.PRNGKey(0), vocab=vocab)
     else:
-        params = lstm_lm.init(__import__("jax").random.PRNGKey(0),
-                              vocab=vocab)
+        params = lstm_lm.init(jax.random.PRNGKey(0), vocab=vocab)
 
     test = corpus.test
     if limit_tokens:

@@ -58,33 +58,45 @@ def uniform_quantize(x, sf, bits: int):
     return q, sign
 
 
-def _select_topk_planes(planes, budget):
-    """Mask digit planes to the ``budget`` largest-magnitude terms per group.
+def _select_topk_planes(planes, budget, keep_mode: str = "largest"):
+    """Mask digit planes to ``budget`` terms per group.
 
     Args:
       planes: int32 (..., g, T) signed digits in {-1, 0, +1}; plane ``p``
         carries magnitude ``2**p``.
       budget: total number of terms to keep across the trailing (g, T) block.
+      keep_mode: 'largest' keeps the budget largest-magnitude terms (the
+        CUDA kernel's k-way merge, tr_cuda_kernel.cu:92-116); 'serial'
+        keeps the FIRST budget terms in LSB-first serial order — the
+        FPGA comparator/truncator's behaviour (concatenator_truncator.v:
+        33-52: HESE emits low-order terms first on the wire and terms
+        past the group budget are dropped).
 
     Returns:
       int32 (..., g, T) planes with dropped terms zeroed.
     """
     absd = jnp.abs(planes)  # (..., g, T) in {0, 1}
-    # Terms in this group at strictly higher planes (any element).
-    cnt = jnp.sum(absd, axis=-2, keepdims=True)  # (..., 1, T)
-    incl_from_top = jnp.cumsum(cnt[..., ::-1], axis=-1)[..., ::-1]  # sum p'>=p
-    higher = incl_from_top - cnt  # sum over p' > p
-    # Terms at the same plane from lower element indices (tie-break:
-    # strict > in the reference merge keeps the earliest element first,
-    # tr_cuda_kernel.cu:96-103).
+    cnt = jnp.sum(absd, axis=-2, keepdims=True)  # per-plane group count
+    if keep_mode == "largest":
+        # Terms in this group at strictly higher planes (any element).
+        incl_from_top = jnp.cumsum(cnt[..., ::-1], axis=-1)[..., ::-1]
+        before = incl_from_top - cnt  # sum over p' > p
+    elif keep_mode == "serial":
+        before = jnp.cumsum(cnt, axis=-1) - cnt  # sum over p' < p
+    else:
+        raise ValueError(f"unknown keep_mode {keep_mode!r}")
+    # Same-plane tie-break: lowest element index first (strict > in the
+    # reference merge, tr_cuda_kernel.cu:96-103; lane order in HW).
     within = jnp.cumsum(absd, axis=-2) - absd  # exclusive cumsum over g
-    rank = higher + within
+    rank = before + within
     keep = (rank < budget) & (absd > 0)
     return jnp.where(keep, planes, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bits", "group_size", "num_keep_terms", "axis")
+    jax.jit,
+    static_argnames=("bits", "group_size", "num_keep_terms", "axis",
+                     "keep_mode"),
 )
 def term_reveal(
     x,
@@ -93,6 +105,7 @@ def term_reveal(
     group_size: int = 1,
     num_keep_terms: int = 8,
     axis: int = 1,
+    keep_mode: str = "largest",
 ):
     """Fake-quantize ``x`` by group-wise top-alpha term revealing.
 
@@ -125,7 +138,7 @@ def term_reveal(
 
     q, sign = uniform_quantize(grouped, sf, bits)
     planes = hese_digit_planes(q, bits)  # (..., G, g, T)
-    kept = _select_topk_planes(planes, num_keep_terms)
+    kept = _select_topk_planes(planes, num_keep_terms, keep_mode)
 
     T = num_planes(bits)
     weights_pow2 = (1 << jnp.arange(T, dtype=jnp.int32))
