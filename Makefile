@@ -1,0 +1,28 @@
+PY ?= python
+
+.PHONY: test test-fast native bench figures clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x -k "not e2e and not torch_parity"
+
+native:
+	$(MAKE) -C native
+
+bench:
+	$(PY) bench.py
+	$(PY) bench.py matmul
+	$(PY) bench.py resnet
+
+figures:
+	$(PY) -m tq_tpu.viz.fpga
+	-$(PY) -m tq_tpu.viz.pareto results/mnist-quant.json results/mnist-tr.json --pair --out figures/mnist_pareto.pdf
+	-$(PY) -m tq_tpu.viz.pareto results/lstm-quant.json results/lstm-tr.json --pair --out figures/lstm_pareto.pdf
+	-$(PY) -m tq_tpu.viz.quant_error
+	-$(PY) -m tq_tpu.viz.term_dist
+
+clean:
+	rm -rf native/build .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -85,3 +85,28 @@ def test_quantized_forward_under_mesh(rng):
     logp, _ = fwd(qparams, qstate, xs)
     assert logp.shape == (64, 10)
     assert bool(jnp.all(jnp.isfinite(logp)))
+
+
+def test_cnn_tensor_parallel_params(rng):
+    """Quantized ResNet-18 with conv kernels sharded over 'model' (TP)
+    + batch over 'data' matches the unsharded forward."""
+    from tq_tpu.convert import convert_cnn, static_conv_layer_settings
+    from tq_tpu.convert.cnn import make_cnn_apply
+    from tq_tpu.models import resnet
+    from tq_tpu.parallel.sharding import cnn_param_specs, shard_batch
+
+    params = resnet.init(jax.random.PRNGKey(0))
+    settings = static_conv_layer_settings(resnet.conv_specs(), 8, 8, 16)
+    qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 8, 4)
+    qstate = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qstate.items()}
+    fwd = make_cnn_apply(resnet, qcfg, track=False)
+
+    x = jnp.asarray(rng.normal(size=(8, 64, 64, 3)), jnp.float32)
+    ref, _ = fwd(qparams, qstate, x)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    qp_sharded = shard_pytree(qparams, cnn_param_specs(qparams), mesh)
+    xs = shard_batch(x, mesh)
+    out, _ = fwd(qp_sharded, qstate, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

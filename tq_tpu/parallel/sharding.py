@@ -42,6 +42,29 @@ def batch_spec() -> P:
     return P("data")
 
 
+def cnn_param_specs(params) -> dict:
+    """TP specs for a CNN param tree: conv kernels (HWIO) shard their
+    output channels over 'model', dense layers their output features;
+    BN / biases / scalars replicate.  GSPMD then partitions every conv
+    over output channels and all-gathers activations where needed.
+    """
+    specs = {}
+    for name, leaves in params.items():
+        if not isinstance(leaves, dict):
+            continue
+        entry = {}
+        for key, leaf in leaves.items():
+            ndim = getattr(leaf, "ndim", 0)
+            if key == "w" and ndim == 4:
+                entry[key] = P(None, None, None, "model")
+            elif key == "w" and ndim == 2:
+                entry[key] = P(None, "model")
+            else:
+                entry[key] = P()
+        specs[name] = entry
+    return specs
+
+
 def shard_batch(x, mesh: Mesh):
     """device_put ``x`` batch-sharded over 'data' (replicated when the
     batch does not divide the axis — e.g. a tail batch)."""
