@@ -53,3 +53,37 @@ def test_sf_change_no_retrace(rng):
         a = tr_quantize(x, 0.05, 8, 1, 4, axis=-1)
         b = tr_quantize(x, 0.07, 8, 1, 4, axis=-1)
     assert a.shape == b.shape
+
+
+def test_max_hese_terms_bound_exact():
+    """max_hese_terms must be a TIGHT UPPER bound on the automaton's
+    term count (the loop-free top-k clear loop depends on it; an
+    under-bound silently keeps too many terms at small budgets)."""
+    import numpy as np
+
+    from tq_tpu.kernels.tr_quantize import max_hese_terms
+    from tq_tpu.ops.hese import hese_digit_planes_np
+
+    for bits in range(1, 15):
+        counts = np.abs(
+            hese_digit_planes_np(np.arange(1 << bits), bits)
+        ).sum(-1)
+        assert counts.max() == max_hese_terms(bits), bits
+
+
+def test_exhaustive_small_bits_tight_budgets():
+    """Every 8-bit value at every budget: pallas == jnp reference.
+
+    Catches max-term under-bounds (values like 0b110110 carry more
+    terms than canonical CSD allows)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tq_tpu.kernels.tr_quantize import tr_quantize
+    from tq_tpu.ops.term_reveal import term_reveal
+
+    x = jnp.asarray(np.arange(256, dtype=np.float32))
+    for budget in (1, 2, 3, 4, 6):
+        a = term_reveal(x, 1.0, 8, 1, budget, axis=0)
+        b = tr_quantize(x, 1.0, 8, 1, budget, axis=0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

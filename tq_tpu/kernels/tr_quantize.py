@@ -72,18 +72,26 @@ def _quantize(x, sf, bits: int):
     return q, sign
 
 
-def _popcount16(v):
-    """SWAR popcount for values < 2**16."""
-    v = v - ((v >> 1) & 0x5555)
-    v = (v & 0x3333) + ((v >> 2) & 0x3333)
-    v = (v + (v >> 4)) & 0x0F0F
-    return (v + (v >> 8)) & 0x1F
+def _popcount(v):
+    """SWAR popcount for non-negative values < 2**31 (digit masks span
+    ``bits + 1`` planes, so 16-bit grids produce 17-bit masks)."""
+    v = v - ((v >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    v = v + (v >> 8)
+    return (v + (v >> 16)) & 0x3F
 
 
 def max_hese_terms(bits: int) -> int:
-    """Canonical signed-digit form has no adjacent nonzeros, so at most
-    every other of the ``bits + 1`` planes carries a term."""
-    return (bits + 2) // 2
+    """Maximum automaton terms for a ``bits``-wide magnitude.
+
+    The reference automaton is NOT canonical CSD: a run of length 2
+    ('110') emits two terms in three bits (+2^(i+1) then -2^(i-1)...),
+    so repeating '110' patterns reach 2 terms per 3 planes — denser
+    than CSD's every-other-plane.  Exact maximum (verified exhaustively
+    for bits <= 15 in tests): floor(2 * (bits + 1) / 3).
+    """
+    return 2 * (bits + 1) // 3
 
 
 def _topk_value(q, bits: int, budget: int):
@@ -92,14 +100,14 @@ def _topk_value(q, bits: int, budget: int):
     ``pos``/``neg`` are disjoint bit masks, so the reconstructed value of
     any kept subset ``m`` is just ``(pos & m) - (neg & m)`` read as
     integers.  Keeping the top ``budget`` terms == clearing the
-    ``popcount - budget`` lowest set bits of ``t = pos | neg``; the CSD
-    property bounds the excess at ``max_hese_terms(bits) - budget``
-    statically, so the clear loop is tiny (0-2 iterations at the
-    reference's settings) and each step is ``t &= t - 1``.
+    ``popcount - budget`` lowest set bits of ``t = pos | neg``; the
+    excess is statically bounded by ``max_hese_terms(bits) - budget``,
+    so the clear loop is short (3 iterations at the reference's
+    wb=9/dt=3 setting) and each step is ``t &= t - 1``.
     """
     pos, neg = _digit_masks(q)
     t = pos | neg
-    excess = _popcount16(t) - budget
+    excess = _popcount(t) - budget
     for _ in range(max(0, max_hese_terms(bits) - budget)):
         t = jnp.where(excess > 0, t & (t - 1), t)
         excess = excess - 1
