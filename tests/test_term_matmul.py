@@ -44,3 +44,39 @@ def test_oversized_budget_equals_uq_matmul(rng):
     out = term_matmul(x, w, sf, 6, 7, bm=32, bk=64, bn=32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_int_packed_weights_match(rng):
+    """Integer-packed weight streaming path == fp weight path."""
+    from tq_tpu.kernels.term_matmul import pack_weight_int
+    from tq_tpu.layers.common import TRParams, quantize_weight
+
+    x = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 64)) * 0.1, jnp.float32)
+    for wb in (7, 9):
+        tr = TRParams(wb, 8, 12, 8, 3)
+        wq, w_sf = quantize_weight(w, tr, axis=0)
+        ref = term_matmul(x, wq, jnp.float32(0.05), 8, 3, bm=64, bk=128, bn=64)
+        wi, w_sf2 = pack_weight_int(wq, w_sf, wb)
+        assert wi.dtype == (jnp.int8 if wb <= 7 else jnp.int16)
+        out = term_matmul(x, wi, jnp.float32(0.05), 8, 3, w_sf=w_sf2,
+                          bm=64, bk=128, bn=64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_int8_bf16_packed_weights(rng):
+    from tq_tpu.kernels.term_matmul import pack_weight_int
+    from tq_tpu.layers.common import TRParams, quantize_weight
+
+    x = jnp.asarray(rng.normal(size=(32, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 32)) * 0.1, jnp.float32)
+    tr = TRParams(7, 8, 12, 8, 3)
+    wq, w_sf = quantize_weight(w, tr, axis=0)
+    wi, _ = pack_weight_int(wq, w_sf, 7)
+    ref = term_matmul(x, wq, jnp.float32(0.05), 8, 3, bm=32, bk=128, bn=32)
+    out = term_matmul(x, wi, jnp.float32(0.05), 8, 3, w_sf=w_sf, bf16=True,
+                      bm=32, bk=128, bn=32)
+    # int8 values are bf16-exact; xq bf16 rounding only.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

@@ -28,7 +28,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tq_tpu.kernels.tr_quantize import _quantize, _topk_value
 
-__all__ = ["term_matmul"]
+__all__ = ["term_matmul", "pack_weight_int"]
+
+
+def pack_weight_int(w_q, w_sf, bits: int):
+    """Pack term-revealed fp weights into narrow ints for streaming.
+
+    ``w_q`` values are exact multiples of ``w_sf`` in
+    [-(2^bits - 1), 2^bits - 1]; returns (int8|int16 array, w_sf).
+    """
+    q = jnp.round(w_q / w_sf)
+    dtype = jnp.int8 if bits <= 7 else jnp.int16
+    # int8 covers |q| <= 127 (7-bit grids); 8..15-bit grids take int16.
+    return q.astype(dtype), jnp.asarray(w_sf, jnp.float32)
 
 
 def _tr_tile(x, sf, bits: int, budget: int):
@@ -38,7 +50,8 @@ def _tr_tile(x, sf, bits: int, budget: int):
     return sign * acc.astype(x.dtype) * sf
 
 
-def _body(sf_ref, x_ref, w_ref, o_ref, acc_ref, *, bits, budget, n_k, bf16):
+def _body(sf_ref, x_ref, w_ref, o_ref, acc_ref, *, bits, budget, n_k, bf16,
+          w_scale):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -47,6 +60,12 @@ def _body(sf_ref, x_ref, w_ref, o_ref, acc_ref, *, bits, budget, n_k, bf16):
 
     xq = _tr_tile(x_ref[:], sf_ref[0], bits, budget)
     w = w_ref[:]
+    if w.dtype in (jnp.int8, jnp.int16):
+        # Packed integer weights (term-revealed magnitudes / w_sf):
+        # stream narrow ints from HBM, widen in VMEM, fold the scale
+        # into the epilogue.  int8 -> bf16 is exact (<= 8-bit grids).
+        w = w.astype(jnp.bfloat16 if w.dtype == jnp.int8 and bf16
+                     else jnp.float32)
     if bf16:
         xq = xq.astype(jnp.bfloat16)
         w = w.astype(jnp.bfloat16)
@@ -54,7 +73,10 @@ def _body(sf_ref, x_ref, w_ref, o_ref, acc_ref, *, bits, budget, n_k, bf16):
 
     @pl.when(k == n_k - 1)
     def _done():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        acc = acc_ref[:]
+        if w_scale:
+            acc = acc * sf_ref[1]
+        o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _pad_to(n, m):
@@ -77,17 +99,23 @@ def term_matmul(
     bm: int = 256,
     bk: int = 512,
     bn: int = 512,
+    w_sf=None,
 ):
     """``tr_quantize(x, sf, bits, 1, k) @ w`` in one fused kernel.
 
     Args:
       x: (M, K) raw activations.
-      w: (K, N) term-revealed weights (fp values, conversion-time output).
+      w: (K, N) term-revealed weights.  Either fp values
+        (conversion-time output), or — the weight-streaming serving
+        path — narrow integers (int8 for <= 8-bit grids, int16 up to
+        15 bits) holding ``w_q / w_sf`` with ``w_sf`` passed separately:
+        2-4x less weight HBM traffic, dequant folded into the epilogue.
       sf: calibrated activation scale (SMEM; no recompile per scale).
       bf16: cast both MXU operands to bfloat16.  Safe when
         ``bits - num_keep_terms`` keeps quantized magnitudes within
         bf16's 8-bit mantissa (e.g. any setting with <= 8-term values);
         full f32 otherwise.
+      w_sf: weight scale for integer ``w`` (required iff w is integer).
 
     Returns (M, N) float32.
     """
@@ -96,7 +124,14 @@ def term_matmul(
     M, K = x.shape
     K2, N = w.shape
     assert K == K2, (x.shape, w.shape)
-    sf_arr = jnp.asarray(sf, jnp.float32).reshape(1)
+    w_is_int = jnp.issubdtype(w.dtype, jnp.integer)
+    if w_is_int and w_sf is None:
+        raise ValueError("integer weights require w_sf")
+    sf_arr = jnp.stack([
+        jnp.asarray(sf, jnp.float32).reshape(()),
+        (jnp.asarray(w_sf, jnp.float32).reshape(())
+         if w_sf is not None else jnp.float32(1.0)),
+    ])
 
     bm = min(bm, _pad_to(M, 8))
     bk = min(bk, _pad_to(K, 128))
@@ -108,7 +143,7 @@ def term_matmul(
 
     out = pl.pallas_call(
         functools.partial(_body, bits=bits, budget=num_keep_terms,
-                          n_k=n_k, bf16=bf16),
+                          n_k=n_k, bf16=bf16, w_scale=bool(w_is_int)),
         grid=(Mp // bm, Np // bn, n_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
