@@ -80,3 +80,28 @@ def test_int8_bf16_packed_weights(rng):
     # int8 values are bf16-exact; xq bf16 rounding only.
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pack_and_kernel_validation(rng):
+    """Review findings: overflow, zero-scale, dtype and w_sf contracts."""
+    from tq_tpu.kernels import pack_weight_int
+
+    w = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+    # Understating the grid must raise, not wrap.
+    from tq_tpu.layers.common import TRParams, quantize_weight
+
+    wq, w_sf = quantize_weight(w, TRParams(9, 8, 12, 8, 3), axis=0)
+    with pytest.raises(ValueError, match="overflows"):
+        pack_weight_int(wq, w_sf, 7)
+    # All-zero weights pack without NaNs.
+    wz, sfz = pack_weight_int(jnp.zeros((4, 4)), jnp.float32(0.0), 7)
+    assert int(jnp.sum(jnp.abs(wz))) == 0 and float(sfz) == 1.0
+    # Unsupported integer dtype rejected.
+    x = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+    with pytest.raises(ValueError, match="int8 or int16"):
+        term_matmul(x, jnp.ones((16, 8), jnp.int32), 0.05,
+                    w_sf=jnp.float32(1.0))
+    # w_sf with float weights rejected (silent no-op before).
+    with pytest.raises(ValueError, match="only meaningful"):
+        term_matmul(x, jnp.ones((16, 8), jnp.float32), 0.05,
+                    w_sf=jnp.float32(2.0))

@@ -34,13 +34,27 @@ __all__ = ["term_matmul", "pack_weight_int"]
 def pack_weight_int(w_q, w_sf, bits: int):
     """Pack term-revealed fp weights into narrow ints for streaming.
 
-    ``w_q`` values are exact multiples of ``w_sf`` in
-    [-(2^bits - 1), 2^bits - 1]; returns (int8|int16 array, w_sf).
+    ``w_q`` values are exact multiples of ``w_sf``; with this repo's
+    weight scale (``max|w| / 2^(bits-1)``) magnitudes reach
+    ``2^(bits-1)``, so int8 covers grids up to 7 bits and int16 up to
+    15.  Returns (int8|int16 array, w_sf).  Raises on overflow (a
+    ``bits`` that understates the actual grid would otherwise wrap
+    silently) and on ``w_sf == 0`` (all-zero tensors have no scale).
     """
+    w_sf = jnp.asarray(w_sf, jnp.float32)
+    if float(w_sf) == 0.0:
+        # All-zero weights: any scale reconstructs them.
+        return jnp.zeros(w_q.shape, jnp.int8), jnp.float32(1.0)
     q = jnp.round(w_q / w_sf)
     dtype = jnp.int8 if bits <= 7 else jnp.int16
-    # int8 covers |q| <= 127 (7-bit grids); 8..15-bit grids take int16.
-    return q.astype(dtype), jnp.asarray(w_sf, jnp.float32)
+    limit = 127 if bits <= 7 else 32767
+    maxq = float(jnp.max(jnp.abs(q)))
+    if maxq > limit:
+        raise ValueError(
+            f"max |w/w_sf| = {maxq} overflows {dtype.__name__} — "
+            f"'bits' ({bits}) understates the quantization grid"
+        )
+    return q.astype(dtype), w_sf
 
 
 def _tr_tile(x, sf, bits: int, budget: int):
@@ -107,9 +121,10 @@ def term_matmul(
       x: (M, K) raw activations.
       w: (K, N) term-revealed weights.  Either fp values
         (conversion-time output), or — the weight-streaming serving
-        path — narrow integers (int8 for <= 8-bit grids, int16 up to
-        15 bits) holding ``w_q / w_sf`` with ``w_sf`` passed separately:
-        2-4x less weight HBM traffic, dequant folded into the epilogue.
+        path — narrow integers (int8 for <= 7-bit grids, int16 up to
+        15; use :func:`pack_weight_int`) holding ``w_q / w_sf`` with
+        ``w_sf`` passed separately: 2-4x less weight HBM traffic,
+        dequant folded into the epilogue.
       sf: calibrated activation scale (SMEM; no recompile per scale).
       bf16: cast both MXU operands to bfloat16.  Safe when
         ``bits - num_keep_terms`` keeps quantized magnitudes within
@@ -125,8 +140,14 @@ def term_matmul(
     K2, N = w.shape
     assert K == K2, (x.shape, w.shape)
     w_is_int = jnp.issubdtype(w.dtype, jnp.integer)
+    if w_is_int and w.dtype not in (jnp.int8, jnp.int16):
+        raise ValueError(
+            f"integer weights must be int8 or int16, got {w.dtype}"
+        )
     if w_is_int and w_sf is None:
         raise ValueError("integer weights require w_sf")
+    if not w_is_int and w_sf is not None:
+        raise ValueError("w_sf is only meaningful for integer weights")
     sf_arr = jnp.stack([
         jnp.asarray(sf, jnp.float32).reshape(()),
         (jnp.asarray(w_sf, jnp.float32).reshape(())
