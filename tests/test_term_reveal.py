@@ -113,3 +113,16 @@ def test_serial_keep_mode_grouped():
     assert out.tolist() == [1.0, 2.0]
     out_l = term_reveal(x, 1.0, 4, 2, 2, axis=0)
     assert out_l.tolist() == [4.0, 2.0]  # largest-first: 4, then 2 beats 1
+
+
+def test_elementwise_matches_grouped_g1(rng):
+    """Loop-free fusable path == the general op at group_size 1."""
+    import jax.numpy as jnp
+
+    from tq_tpu.ops.term_reveal import term_reveal_elementwise
+
+    x = jnp.asarray(rng.normal(0, 3, size=(5, 77)), jnp.float32)
+    for bits, k in [(9, 3), (8, 6), (6, 1), (16, 4)]:
+        a = term_reveal(x, 0.05, bits, 1, k, axis=-1)
+        b = term_reveal_elementwise(x, 0.05, bits, k)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -110,15 +110,17 @@ def act_quantize(x, sf, bits: int, terms: int, use_pallas: bool | None = None):
     """Phase-2 activation fake quantization (g=1, per-element top-terms).
 
     Equivalent of ``LinearQuantize.forward`` with tracking off
-    (tr_layer.py:96-99): flatten, term-reveal per element, reshape back.
-    Uses the fused Pallas kernel on TPU, the jnp path elsewhere.
+    (tr_layer.py:96-99).  Inside model forwards this is pure
+    element-wise int math (``term_reveal_elementwise``) that XLA fuses
+    into the surrounding BN/ReLU/conv — no extra HBM round trip, which
+    makes the quantized forward nearly free relative to fp32.  Pass
+    ``use_pallas=True`` to force the standalone kernel materialization
+    (useful when the caller wants the quantized tensor itself).
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    from tq_tpu.ops.term_reveal import term_reveal_elementwise
+
     if use_pallas:
         from tq_tpu.kernels.tr_quantize import tr_quantize
 
         return tr_quantize(x, sf, bits, 1, terms, axis=-1)
-    from tq_tpu.ops.term_reveal import term_reveal
-
-    return term_reveal(x, sf, bits, 1, terms, axis=-1)
+    return term_reveal_elementwise(x, sf, bits, terms)

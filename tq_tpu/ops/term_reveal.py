@@ -38,7 +38,8 @@ import jax.numpy as jnp
 
 from tq_tpu.ops.hese import hese_digit_planes, num_planes
 
-__all__ = ["uniform_quantize", "term_reveal", "term_reveal_st"]
+__all__ = ["uniform_quantize", "term_reveal", "term_reveal_st",
+           "term_reveal_elementwise"]
 
 
 def uniform_quantize(x, sf, bits: int):
@@ -149,6 +150,30 @@ def term_reveal(
     if pad:
         out = out[..., :n]
     return jnp.moveaxis(out, -1, axis).reshape(orig_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "num_keep_terms"))
+def term_reveal_elementwise(x, sf, bits: int, num_keep_terms: int):
+    """Loop-free per-element term reveal (group_size == 1), fusion-friendly.
+
+    Same semantics as ``term_reveal(x, sf, bits, 1, k)`` but expressed
+    as pure element-wise int32 ops with NO digit-plane tensor and no
+    Pallas call: HESE digits as two full-width bit masks, top-budget
+    selection by clearing the ``popcount - budget`` lowest set bits of
+    ``pos | neg`` (excess statically bounded by
+    :func:`tq_tpu.kernels.tr_quantize.max_hese_terms`), reconstruction
+    ``(pos & keep) - (neg & keep)`` read as integers.
+
+    Use THIS inside larger jitted graphs (per-layer activation
+    quantization): XLA fuses it into the neighbouring BN/ReLU/conv, so
+    it costs no extra HBM round trip — unlike a standalone kernel call.
+    The Pallas kernel remains the fastest *standalone* materialization.
+    """
+    from tq_tpu.kernels.tr_quantize import _popcount, _topk_value
+
+    q, sign = uniform_quantize(x, sf, bits)
+    acc = _topk_value(q, bits, num_keep_terms)
+    return sign * acc.astype(x.dtype) * sf
 
 
 @functools.partial(
