@@ -115,7 +115,11 @@ def bench_resnet():
     settings = static_conv_layer_settings(specs, 9, 8, 12)
     qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 9, 3)
     qstate = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qstate.items()}
-    fwd = make_cnn_apply(resnet, qcfg, track=False)
+    import sys
+
+    bf16 = "bf16" in sys.argv
+    fwd = make_cnn_apply(resnet, qcfg, track=False,
+                         compute_dtype=jnp.bfloat16 if bf16 else None)
     fp32 = jax.jit(lambda x: resnet.apply(params, x))
 
     batch = 64

@@ -71,16 +71,19 @@ def convert_cnn(
     return qparams, qcfg, qstate
 
 
-def make_cnn_apply(model_mod, qcfg, track: bool):
+def make_cnn_apply(model_mod, qcfg, track: bool, compute_dtype=None):
     """Jitted two-phase forward: f(qparams, qstate, x) -> (logits, new_qstate).
 
     ``qcfg`` is closed over (its TRParams are static); ``track`` picks
-    calibration vs quantized eval.
+    calibration vs quantized eval.  ``compute_dtype=jnp.bfloat16`` runs
+    converted convs with bf16 MXU operands (perf mode; default matches
+    the reference's fp32 fake-quant structure).
     """
 
     @jax.jit
     def forward(qparams, qstate, x):
-        ctx = QuantCtx(cfg=qcfg, state=qstate, track=track)
+        ctx = QuantCtx(cfg=qcfg, state=qstate, track=track,
+                       compute_dtype=compute_dtype)
         logits = model_mod.apply(qparams, x, ctx)
         new_state = {**qstate, **ctx.out_state}
         return logits, new_state

@@ -55,8 +55,13 @@ def tr_conv_apply(
     stride: Sequence[int] = (1, 1),
     padding="SAME",
     groups: int = 1,
+    compute_dtype=None,
 ):
     """Two-phase forward of a converted conv layer (tr_layer.py:124-126).
+
+    ``compute_dtype`` (e.g. bf16) casts both MXU operands after
+    quantization; f32 accumulation.  Default None = fp32 operands (the
+    reference's fake-quant + fp32 cuDNN structure).
 
     Returns (y, updated_qs).
     """
@@ -67,7 +72,11 @@ def tr_conv_apply(
         xq = act_quantize(x, qs["sf"], tr.data_bits, tr.data_terms)
     else:
         xq = x
-    y = conv2d(xq, qp["w"], stride, padding, groups)
+    w = qp["w"]
+    if compute_dtype is not None and not track:
+        xq = xq.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = conv2d(xq, w, stride, padding, groups)
     if qp.get("b") is not None:
         y = y + qp["b"]
     return y, qs

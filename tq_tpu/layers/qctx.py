@@ -31,12 +31,19 @@ class QuantCtx:
     ``state``: name -> {'hist', 'sf'} quantizer state (traced values).
     ``track``: phase-1 histogram accumulation vs phase-2 quantized eval.
     ``out_state`` collects updated state; read it after the forward.
+    ``compute_dtype``: optional MXU operand dtype for converted layers
+    (e.g. jnp.bfloat16).  The reference evaluates fake-quantized values
+    through fp32 cuDNN (tr_layer.py:126) — that is the parity default —
+    but quantized operands are low-precision by construction, so bf16
+    MXU mode trades <=1-ulp-of-the-grid rounding for ~2x conv
+    throughput.  Accumulation stays f32 either way.
     """
 
     cfg: dict
     state: dict
     track: bool = False
     out_state: dict = dataclasses.field(default_factory=dict)
+    compute_dtype: object = None
 
     def conv(self, name, params, x, stride=(1, 1), padding="SAME", groups=1):
         if self.cfg is None or name not in self.cfg:
@@ -46,7 +53,7 @@ class QuantCtx:
             return y
         y, qs = tr_conv_apply(
             params, self.cfg[name], self.state[name], x, self.track,
-            stride, padding, groups,
+            stride, padding, groups, compute_dtype=self.compute_dtype,
         )
         self.out_state[name] = qs
         return y
