@@ -26,11 +26,18 @@ used as a behavioural specification only (citations in docstrings are
 
 __version__ = "0.1.0"
 
-from tq_tpu.ops.term_reveal import term_reveal, uniform_quantize
+from tq_tpu.ops.term_reveal import (
+    term_reveal,
+    term_reveal_elementwise,
+    term_reveal_st,
+    uniform_quantize,
+)
 from tq_tpu.ops.hese import hese_digit_planes, hese_terms_count
 
 __all__ = [
     "term_reveal",
+    "term_reveal_elementwise",
+    "term_reveal_st",
     "uniform_quantize",
     "hese_digit_planes",
     "hese_terms_count",
