@@ -164,8 +164,11 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).normal(size=shape), jnp.float32)
     bits, terms = 9, 3
 
+    # 200 chained iterations: fully amortizes the residual per-dispatch
+    # overhead (at 100 the kernel reads ~45% under its true bandwidth).
     t_fused = _slope_time(
-        lambda c, sf: tr_quantize(c, sf, bits, 1, terms, interpret=not on_tpu), x
+        lambda c, sf: tr_quantize(c, sf, bits, 1, terms, interpret=not on_tpu),
+        x, iters=200,
     )
     t_plain = _slope_time(lambda c, sf: term_reveal(c, sf, bits, 1, terms), x)
 
