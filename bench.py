@@ -61,6 +61,35 @@ def _slope_time(step_fn, x, iters=100):
     return max(tn - t1, 1e-9) / (iters - 1)
 
 
+def _slope_time_scalar(step_fn, x, iters=64):
+    """Per-iteration seconds of a step chained through a *scalar*.
+
+    For ops whose natural output shape differs from the input (matmul),
+    chaining through the full input tensor would add a (M, K) tensor
+    rebuild to every link — more HBM traffic than the kernel itself.
+    Instead each link perturbs the scale factor by the previous output's
+    mean: sf_i = f(mean(y_{i-1})).  That serializes execution on device
+    while adding only an (M, N) reduction per link.
+    """
+
+    @jax.jit
+    def link(x, s):
+        return jnp.mean(step_fn(x, jnp.float32(0.02) * (1.0 + 1e-6 * s)))
+
+    def timed(n):
+        s = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = link(x, s)
+        float(s)
+        return time.perf_counter() - t0
+
+    timed(2)  # compile + warm
+    t1 = min(timed(1) for _ in range(3))
+    tn = min(timed(iters) for _ in range(3))
+    return max(tn - t1, 1e-9) / (iters - 1)
+
+
 def bench_matmul():
     """Secondary bench (``bench.py matmul``): fused quantize+matmul vs
     the unfused tr_quantize -> XLA matmul composition (both bf16 MXU
@@ -76,22 +105,18 @@ def bench_matmul():
     w = jnp.asarray(np.random.default_rng(1).normal(size=(K, N)), jnp.float32)
     wb = w.astype(jnp.bfloat16)
     bits, terms = 8, 3
-    reps = -(-K // N)
-
-    def back(y):  # project (M, N) back to the (M, K) chain input
-        return jnp.tile(y, (1, reps))[:, :K] * 1e-3
 
     def fused(c, sf):
-        return back(term_matmul(c, w, sf, bits, terms, bf16=True,
-                                interpret=not on_tpu))
+        return term_matmul(c, w, sf, bits, terms, bf16=True,
+                           interpret=not on_tpu)
 
     def unfused(c, sf):
         xq = tr_quantize(c, sf, bits, 1, terms, interpret=not on_tpu)
-        return back(jnp.dot(xq.astype(jnp.bfloat16), wb,
-                            preferred_element_type=jnp.float32))
+        return jnp.dot(xq.astype(jnp.bfloat16), wb,
+                       preferred_element_type=jnp.float32)
 
-    t_f = _slope_time(fused, x)
-    t_u = _slope_time(unfused, x)
+    t_f = _slope_time_scalar(fused, x)
+    t_u = _slope_time_scalar(unfused, x)
     tflops = 2 * M * K * N / t_f / 1e12
     print(json.dumps({
         "metric": "term_matmul_fused",

@@ -57,22 +57,32 @@ def pack_weight_int(w_q, w_sf, bits: int):
     return q.astype(dtype), w_sf
 
 
-def _tr_tile(x, sf, bits: int, budget: int):
-    """Term-reveal one VMEM tile (g=1); returns dequantized fp values."""
+def _tr_tile(x, sf, bits: int, budget: int, apply_sf: bool):
+    """Term-reveal one VMEM tile (g=1).
+
+    ``apply_sf=True`` returns dequantized fp values (``sign * q * sf``)
+    — this keeps the f32 path *bit-exact* with the unfused
+    ``tr_quantize -> dot`` composition (verified on-chip).
+    ``apply_sf=False`` returns the signed integer quantized values; the
+    scale is folded into the output epilogue instead.  Used in bf16
+    mode, where it is strictly MORE accurate: every quantized magnitude
+    <= 256 is bf16-exact, whereas ``q * sf`` generally is not.
+    """
     q, sign = _quantize(x, sf, bits)
     acc = _topk_value(q, bits, budget)
-    return sign * acc.astype(x.dtype) * sf
+    out = sign * acc.astype(x.dtype)
+    return out * sf if apply_sf else out
 
 
-def _body(sf_ref, x_ref, w_ref, o_ref, acc_ref, *, bits, budget, n_k, bf16,
-          w_scale):
+def _body(sf_ref, x_ref, w_ref, o_ref, acc_ref, *, bits, budget, n_k, bf16):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xq = _tr_tile(x_ref[:], sf_ref[0], bits, budget)
+    # bf16 mode: integer activations into the MXU, sf in the epilogue.
+    xq = _tr_tile(x_ref[:], sf_ref[0], bits, budget, apply_sf=not bf16)
     w = w_ref[:]
     if w.dtype in (jnp.int8, jnp.int16):
         # Packed integer weights (term-revealed magnitudes / w_sf):
@@ -87,10 +97,8 @@ def _body(sf_ref, x_ref, w_ref, o_ref, acc_ref, *, bits, budget, n_k, bf16,
 
     @pl.when(k == n_k - 1)
     def _done():
-        acc = acc_ref[:]
-        if w_scale:
-            acc = acc * sf_ref[1]
-        o_ref[:] = acc.astype(o_ref.dtype)
+        # sf_ref[1]: w_sf for int weights, times sf in bf16 mode; 1 else.
+        o_ref[:] = (acc_ref[:] * sf_ref[1]).astype(o_ref.dtype)
 
 
 def _pad_to(n, m):
@@ -110,7 +118,7 @@ def term_matmul(
     num_keep_terms: int = 8,
     bf16: bool = False,
     interpret: bool | None = None,
-    bm: int = 256,
+    bm: int = 1024,
     bk: int = 512,
     bn: int = 512,
     w_sf=None,
@@ -126,10 +134,12 @@ def term_matmul(
         ``w_sf`` passed separately: 2-4x less weight HBM traffic,
         dequant folded into the epilogue.
       sf: calibrated activation scale (SMEM; no recompile per scale).
-      bf16: cast both MXU operands to bfloat16.  Safe when
-        ``bits - num_keep_terms`` keeps quantized magnitudes within
-        bf16's 8-bit mantissa (e.g. any setting with <= 8-term values);
-        full f32 otherwise.
+      bf16: cast both MXU operands to bfloat16.  The activation operand
+        is the signed *integer* quantized value (the scale is applied in
+        the output epilogue), so it is bf16-exact for any grid with
+        ``bits <= 8`` (magnitudes <= 256 fit bf16's mantissa); the
+        float-weight operand rounds to 8 mantissa bits.  Use f32 when
+        both operands must be exact at 9+ bit grids.
       w_sf: weight scale for integer ``w`` (required iff w is integer).
 
     Returns (M, N) float32.
@@ -148,15 +158,18 @@ def term_matmul(
         raise ValueError("integer weights require w_sf")
     if not w_is_int and w_sf is not None:
         raise ValueError("w_sf is only meaningful for integer weights")
-    sf_arr = jnp.stack([
-        jnp.asarray(sf, jnp.float32).reshape(()),
-        (jnp.asarray(w_sf, jnp.float32).reshape(())
-         if w_sf is not None else jnp.float32(1.0)),
-    ])
+    sf_s = jnp.asarray(sf, jnp.float32).reshape(())
+    wsf_s = (jnp.asarray(w_sf, jnp.float32).reshape(())
+             if w_sf is not None else jnp.float32(1.0))
+    sf_arr = jnp.stack([sf_s, sf_s * wsf_s if bf16 else wsf_s])
 
     bm = min(bm, _pad_to(M, 8))
     bk = min(bk, _pad_to(K, 128))
     bn = min(bn, _pad_to(N, 128))
+    # Keep double-buffered tiles + the f32 accumulator inside VMEM.
+    wbytes = w.dtype.itemsize
+    while bm > 8 and 2 * (bm * bk * 4 + bk * bn * wbytes) + 8 * bm * bn > 14 * 2**20:
+        bm //= 2
     Mp, Kp, Np = _pad_to(M, bm), _pad_to(K, bk), _pad_to(N, bn)
     xp = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
     wp = jnp.pad(w, ((0, Kp - K), (0, Np - N)))
@@ -164,7 +177,7 @@ def term_matmul(
 
     out = pl.pallas_call(
         functools.partial(_body, bits=bits, budget=num_keep_terms,
-                          n_k=n_k, bf16=bf16, w_scale=bool(w_is_int)),
+                          n_k=n_k, bf16=bf16),
         grid=(Mp // bm, Np // bn, n_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
