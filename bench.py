@@ -99,11 +99,45 @@ def bench_matmul():
     from tq_tpu.kernels.term_matmul import term_matmul
     from tq_tpu.kernels.tr_quantize import tr_quantize
 
+    import sys
+
     on_tpu = jax.default_backend() == "tpu"
     M, K, N = 8192, 2048, 512
     x = jnp.asarray(np.random.default_rng(0).normal(size=(M, K)), jnp.float32)
     w = jnp.asarray(np.random.default_rng(1).normal(size=(K, N)), jnp.float32)
     wb = w.astype(jnp.bfloat16)
+
+    if "int8" in sys.argv:
+        # True integer serving path: int8 x int8 -> int32 MXU, exact.
+        # Applies to any <= 7-bit setting (reference UQ 6/7-bit rows).
+        from tq_tpu.kernels.term_matmul import pack_weight_int
+        from tq_tpu.ops.term_reveal import term_reveal
+
+        bits, terms = 7, 3
+        w_sf = jnp.max(jnp.abs(w)) / 2 ** (7 - 1)
+        w_tr = term_reveal(w.T, w_sf, 7, 8, 12).T
+        w_i8, w_sf8 = pack_weight_int(w_tr, w_sf, 7)
+
+        def fused(c, sf):
+            return term_matmul(c, w_i8, sf, bits, terms, int8=True,
+                               w_sf=w_sf8, interpret=not on_tpu)
+
+        def unfused(c, sf):
+            xq = tr_quantize(c, sf, bits, 1, terms, interpret=not on_tpu)
+            return jnp.dot(xq.astype(jnp.bfloat16),
+                           w_tr.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+
+        t_f = _slope_time_scalar(fused, x)
+        t_u = _slope_time_scalar(unfused, x)
+        print(json.dumps({
+            "metric": "term_matmul_int8",
+            "value": round(2 * M * K * N / t_f / 1e12, 3),
+            "unit": "TFLOP/s",
+            "vs_baseline": round(t_u / t_f, 3),
+        }))
+        return
+
     bits, terms = 8, 3
 
     def fused(c, sf):

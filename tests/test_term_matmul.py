@@ -105,3 +105,84 @@ def test_pack_and_kernel_validation(rng):
     with pytest.raises(ValueError, match="only meaningful"):
         term_matmul(x, jnp.ones((16, 8), jnp.float32), 0.05,
                     w_sf=jnp.float32(2.0))
+
+
+def test_int8_mxu_mode_exact(rng):
+    """int8 x int8 -> int32 serving path: EXACT integer accumulation."""
+    from tq_tpu.kernels.term_matmul import pack_weight_int
+    from tq_tpu.layers.common import TRParams, quantize_weight
+    from tq_tpu.ops.term_reveal import uniform_quantize
+    from tq_tpu.kernels.tr_quantize import _topk_value
+
+    x = jnp.asarray(rng.normal(size=(48, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 40)) * 0.1, jnp.float32)
+    sf = jnp.float32(0.05)
+    bits, terms = 7, 3
+    wq, w_sf = quantize_weight(w, TRParams(7, 8, 12, bits, terms), axis=0)
+    wi, w_sf2 = pack_weight_int(wq, w_sf, 7)
+
+    out = term_matmul(x, wi, sf, bits, terms, int8=True, w_sf=w_sf2,
+                      bm=48, bk=128, bn=40)
+    # Exact integer reference: signed quantized ints @ packed ints.
+    q, sign = uniform_quantize(x, sf, bits)
+    xq = np.asarray(sign * _topk_value(q, bits, terms).astype(jnp.float32),
+                    np.int64)
+    ref = (xq @ np.asarray(wi, np.int64)).astype(np.float64) \
+        * float(sf) * float(w_sf2)
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_int8_mode_validation(rng):
+    from tq_tpu.kernels.term_matmul import pack_weight_int
+    from tq_tpu.layers.common import TRParams, quantize_weight
+
+    x = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(16, 8)) * 0.1, jnp.float32)
+    wq, w_sf = quantize_weight(w, TRParams(7, 8, 12, 7, 3), axis=0)
+    wi, w_sf2 = pack_weight_int(wq, w_sf, 7)
+    with pytest.raises(ValueError, match="bits <= 7"):
+        term_matmul(x, wi, 0.05, 8, 3, int8=True, w_sf=w_sf2)
+    with pytest.raises(ValueError, match="int8-packed"):
+        term_matmul(x, wq, 0.05, 7, 3, int8=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        term_matmul(x, wi, 0.05, 7, 3, int8=True, bf16=True, w_sf=w_sf2)
+
+
+def test_bf16_integer_operand_exact_vs_f32_weights(rng):
+    """bf16 mode feeds integer activations: exact for <=8-bit grids when
+    the weights are bf16-representable."""
+    x = jnp.asarray(rng.normal(size=(32, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 32)) * 0.1,
+                    jnp.bfloat16).astype(jnp.float32)  # bf16-exact weights
+    sf = jnp.float32(0.05)
+    ref = jnp.dot(term_reveal(x, sf, 8, 1, 3, axis=-1),
+                  w, preferred_element_type=jnp.float32)
+    out = term_matmul(x, w, sf, 8, 3, bf16=True, bm=32, bk=128, bn=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pack_dense_weights_serving(rng):
+    """Packed dense serving: int8/int16 weights match the fp path."""
+    from tq_tpu.layers.common import TRParams
+    from tq_tpu.layers.linear import (init_quant_state, pack_dense_weights,
+                                      tr_dense_apply, tr_dense_convert)
+
+    x = jnp.asarray(rng.normal(size=(16, 64)), jnp.float32)
+    for wb, db in ((7, 7), (9, 8)):  # int8-MXU path / int16 f32 path
+        tr = TRParams(wb, 8, 12, db, 3)
+        qp = tr_dense_convert(
+            {"w": jnp.asarray(rng.normal(size=(64, 32)) * 0.1, jnp.float32),
+             "b": jnp.zeros((32,), jnp.float32)}, tr)
+        qs = init_quant_state()
+        qs = {**qs, "sf": jnp.float32(0.05)}
+        ref, _ = tr_dense_apply(qp, tr, qs, x, track=False)
+        packed = pack_dense_weights(qp, tr)
+        assert packed["w"].dtype == (jnp.int8 if wb <= 7 else jnp.int16)
+        out, _ = tr_dense_apply(packed, tr, qs, x, track=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        # tracking phase works with packed weights (dequant fallback)
+        y, qs2 = tr_dense_apply(packed, tr, qs, x, track=True)
+        assert y.shape == ref.shape

@@ -74,31 +74,41 @@ def _tr_tile(x, sf, bits: int, budget: int, apply_sf: bool):
     return out * sf if apply_sf else out
 
 
-def _body(sf_ref, x_ref, w_ref, o_ref, acc_ref, *, bits, budget, n_k, bf16):
+def _body(sf_ref, x_ref, w_ref, o_ref, acc_ref, *, bits, budget, n_k, mxu):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # bf16 mode: integer activations into the MXU, sf in the epilogue.
-    xq = _tr_tile(x_ref[:], sf_ref[0], bits, budget, apply_sf=not bf16)
+    # bf16/int8 modes: integer activations into the MXU, sf in epilogue.
+    xq = _tr_tile(x_ref[:], sf_ref[0], bits, budget, apply_sf=mxu == "f32")
     w = w_ref[:]
-    if w.dtype in (jnp.int8, jnp.int16):
-        # Packed integer weights (term-revealed magnitudes / w_sf):
-        # stream narrow ints from HBM, widen in VMEM, fold the scale
-        # into the epilogue.  int8 -> bf16 is exact (<= 8-bit grids).
-        w = w.astype(jnp.bfloat16 if w.dtype == jnp.int8 and bf16
-                     else jnp.float32)
-    if bf16:
-        xq = xq.astype(jnp.bfloat16)
-        w = w.astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(xq, w, preferred_element_type=jnp.float32)
+    if mxu == "int8":
+        # True integer serving path (bits <= 7): int8 x int8 -> int32
+        # MXU at 2x bf16 rate, EXACT accumulation, 4x less weight HBM.
+        acc_ref[:] += jax.lax.dot_general(
+            xq.astype(jnp.int8), w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    else:
+        if w.dtype in (jnp.int8, jnp.int16):
+            # Packed integer weights (term-revealed magnitudes / w_sf):
+            # stream narrow ints from HBM, widen in VMEM, fold the scale
+            # into the epilogue.  int8 -> bf16 is exact (<= 8-bit grids).
+            w = w.astype(jnp.bfloat16 if w.dtype == jnp.int8 and mxu == "bf16"
+                         else jnp.float32)
+        if mxu == "bf16":
+            xq = xq.astype(jnp.bfloat16)
+            w = w.astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(xq, w, preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _done():
-        # sf_ref[1]: w_sf for int weights, times sf in bf16 mode; 1 else.
-        o_ref[:] = (acc_ref[:] * sf_ref[1]).astype(o_ref.dtype)
+        # sf_ref[1]: w_sf for int weights, times sf in bf16/int8 mode.
+        acc = acc_ref[:]
+        if mxu == "int8":
+            acc = acc.astype(jnp.float32)
+        o_ref[:] = (acc * sf_ref[1]).astype(o_ref.dtype)
 
 
 def _pad_to(n, m):
@@ -107,7 +117,7 @@ def _pad_to(n, m):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "num_keep_terms", "bf16", "interpret",
+    static_argnames=("bits", "num_keep_terms", "bf16", "int8", "interpret",
                      "bm", "bk", "bn"),
 )
 def term_matmul(
@@ -117,6 +127,7 @@ def term_matmul(
     bits: int = 8,
     num_keep_terms: int = 8,
     bf16: bool = False,
+    int8: bool = False,
     interpret: bool | None = None,
     bm: int = 1024,
     bk: int = 512,
@@ -140,6 +151,10 @@ def term_matmul(
         ``bits <= 8`` (magnitudes <= 256 fit bf16's mantissa); the
         float-weight operand rounds to 8 mantissa bits.  Use f32 when
         both operands must be exact at 9+ bit grids.
+      int8: true integer serving path — int8 x int8 -> int32 MXU (2x the
+        bf16 rate on v5e) with EXACT accumulation.  Requires int8-packed
+        weights (:func:`pack_weight_int`, i.e. a <= 7-bit weight grid)
+        and activation ``bits <= 7`` so quantized magnitudes fit int8.
       w_sf: weight scale for integer ``w`` (required iff w is integer).
 
     Returns (M, N) float32.
@@ -158,10 +173,20 @@ def term_matmul(
         raise ValueError("integer weights require w_sf")
     if not w_is_int and w_sf is not None:
         raise ValueError("w_sf is only meaningful for integer weights")
+    if int8:
+        if bf16:
+            raise ValueError("int8 and bf16 modes are mutually exclusive")
+        if w.dtype != jnp.int8:
+            raise ValueError("int8 mode requires int8-packed weights")
+        if bits > 7:
+            raise ValueError(
+                f"int8 mode needs bits <= 7 (magnitudes < 128), got {bits}"
+            )
+    mxu = "int8" if int8 else ("bf16" if bf16 else "f32")
     sf_s = jnp.asarray(sf, jnp.float32).reshape(())
     wsf_s = (jnp.asarray(w_sf, jnp.float32).reshape(())
              if w_sf is not None else jnp.float32(1.0))
-    sf_arr = jnp.stack([sf_s, sf_s * wsf_s if bf16 else wsf_s])
+    sf_arr = jnp.stack([sf_s, wsf_s if mxu == "f32" else sf_s * wsf_s])
 
     bm = min(bm, _pad_to(M, 8))
     bk = min(bk, _pad_to(K, 128))
@@ -177,7 +202,7 @@ def term_matmul(
 
     out = pl.pallas_call(
         functools.partial(_body, bits=bits, budget=num_keep_terms,
-                          n_k=n_k, bf16=bf16),
+                          n_k=n_k, mxu=mxu),
         grid=(Mp // bm, Np // bn, n_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -189,7 +214,8 @@ def term_matmul(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            (bm, bn), jnp.int32 if mxu == "int8" else jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -29,6 +29,7 @@ from tq_tpu.layers.quantize import (
 __all__ = [
     "tr_dense_convert",
     "tr_dense_apply",
+    "pack_dense_weights",
     "init_quant_state",
     "finalize_quant_state",
 ]
@@ -61,6 +62,25 @@ def tr_dense_convert(params, tr: TRParams):
     return out
 
 
+def pack_dense_weights(qp, tr: TRParams):
+    """Pack a converted dense layer's weights into narrow integers.
+
+    Serving-time transform: the term-revealed fp32 weights become int8
+    (<= 7-bit weight grids) or int16, cutting weight HBM traffic 2-4x.
+    ``tr_dense_apply`` detects packed weights and dequantizes in the
+    fused kernel's epilogue; when both the weight grid and
+    ``tr.data_bits`` fit int8, the matmul runs on the int8 MXU (2x the
+    bf16 rate, exact int32 accumulation).
+    """
+    from tq_tpu.kernels.term_matmul import pack_weight_int
+
+    w_int, w_sf = pack_weight_int(qp["w"], qp["w_sf"], tr.weight_bits)
+    out = dict(qp)
+    out["w"] = w_int
+    out["w_sf"] = w_sf
+    return out
+
+
 def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool,
                    use_fused: bool | None = None):
     """Forward through a converted dense layer.
@@ -78,24 +98,31 @@ def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool,
     """
     import jax
 
+    w = qp["w"]
+    w_packed = jnp.issubdtype(w.dtype, jnp.integer)
     if track:
         qs = {**qs, "hist": histogram_update(qs["hist"], x)}
         xq = x
     elif tr.quantize_input:
         if use_fused is None:
-            use_fused = jax.default_backend() == "tpu" and x.ndim == 2
+            use_fused = (w_packed or jax.default_backend() == "tpu") \
+                and x.ndim == 2
         if use_fused:
             from tq_tpu.kernels.term_matmul import term_matmul
 
-            y = term_matmul(x, qp["w"], qs["sf"], tr.data_bits,
-                            tr.data_terms)
+            int8 = bool(w.dtype == jnp.int8 and tr.data_bits <= 7)
+            y = term_matmul(x, w, qs["sf"], tr.data_bits, tr.data_terms,
+                            int8=int8, bf16=w.dtype == jnp.int8 and not int8,
+                            w_sf=qp["w_sf"] if w_packed else None)
             if qp.get("b") is not None:
                 y = y + qp["b"]
             return y, qs
         xq = act_quantize(x, qs["sf"], tr.data_bits, tr.data_terms)
     else:
         xq = x
-    y = jnp.dot(xq, qp["w"], preferred_element_type=jnp.float32)
+    if w_packed:  # non-fused fallback: dequantize on the fly
+        w = w.astype(jnp.float32) * qp["w_sf"]
+    y = jnp.dot(xq, w, preferred_element_type=jnp.float32)
     if qp.get("b") is not None:
         y = y + qp["b"]
     return y, qs
