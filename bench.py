@@ -162,21 +162,33 @@ def bench_matmul():
 
 def bench_resnet():
     """``bench.py resnet``: end-to-end TR-quantized ResNet-18 inference
-    throughput (imgs/s) on one chip, vs the fp32 forward as baseline."""
+    throughput (imgs/s) on one chip, vs the fp32 forward as baseline.
+
+    Variants: ``bf16`` (bf16 MXU operands at the reference's 9-bit
+    setting) and ``int8`` (7-bit weights+data, int8-packed weights,
+    integer MXU convs — the true-integer serving mode)."""
+    import sys
+
     import jax.random as jrandom
 
-    from tq_tpu.convert import convert_cnn, static_conv_layer_settings
+    from tq_tpu.convert import convert_cnn, pack_cnn, \
+        static_conv_layer_settings
     from tq_tpu.convert.cnn import make_cnn_apply
     from tq_tpu.models import resnet
 
+    bf16 = "bf16" in sys.argv
+    int8 = "int8" in sys.argv
+    uq = "uq" in sys.argv  # UQ serving: degenerate budget, cheap quantize
+    wb, db = (7, 7) if int8 else (9, 9)
+    gs, wt, dt = (1, 7, 5) if uq else (8, 12, 3)
+
     params = resnet.init(jrandom.PRNGKey(0))
     specs = resnet.conv_specs()
-    settings = static_conv_layer_settings(specs, 9, 8, 12)
-    qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 9, 3)
+    settings = static_conv_layer_settings(specs, wb, gs, wt)
+    qparams, qcfg, qstate = convert_cnn(resnet, params, settings, db, dt)
     qstate = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qstate.items()}
-    import sys
-
-    bf16 = "bf16" in sys.argv
+    if int8:
+        qparams = pack_cnn(qparams, qcfg)
     fwd = make_cnn_apply(resnet, qcfg, track=False,
                          compute_dtype=jnp.bfloat16 if bf16 else None)
     fp32 = jax.jit(lambda x: resnet.apply(params, x))
@@ -198,7 +210,8 @@ def bench_resnet():
     t_q = _slope_time(q_step, x, iters=50)
     t_f = _slope_time(f_step, x, iters=50)
     print(json.dumps({
-        "metric": "resnet18_tr_inference",
+        "metric": "resnet18_" + ("uq" if uq else "tr") + "_inference"
+        + ("_int8" if int8 else ""),
         "value": round(batch / t_q, 1),
         "unit": "imgs/s",
         "vs_baseline": round(t_f / t_q, 3),

@@ -142,3 +142,57 @@ def test_convert_high_bits_near_lossless(rng):
     out, _ = ev(qparams, qstate, x)
     # top-1 prediction unchanged at near-lossless settings
     assert jnp.array_equal(jnp.argmax(out, -1), jnp.argmax(ref, -1))
+
+
+def test_pack_conv_int8_serving(rng):
+    """int8 conv serving: packed conv == fp fake-quant conv (exact int path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tq_tpu.layers.common import TRParams
+    from tq_tpu.layers.conv import (pack_conv_weights, tr_conv_apply,
+                                    tr_conv_convert)
+    from tq_tpu.layers.linear import init_quant_state
+
+    x = jnp.asarray(rng.normal(size=(2, 14, 14, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 32, 16)) * 0.1, jnp.float32)
+    tr = TRParams(7, 8, 12, 7, 3)
+    qp = tr_conv_convert({"w": w, "b": jnp.zeros((16,), jnp.float32)}, tr)
+    qs = {**init_quant_state(), "sf": jnp.float32(0.05)}
+    ref, _ = tr_conv_apply(qp, tr, qs, x, track=False)
+    packed = pack_conv_weights(qp, tr)
+    assert packed["w"].dtype == jnp.int8
+    out, _ = tr_conv_apply(packed, tr, qs, x, track=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # tracking phase with packed weights: dequant fallback, hist updates
+    y, qs2 = tr_conv_apply(packed, tr, qs, x, track=True)
+    assert y.shape == ref.shape
+    assert float(jnp.sum(qs2["hist"])) > 0
+
+
+def test_pack_cnn_whole_model(rng):
+    """pack_cnn packs swept layers to int8/int16, skips 16-bit exempt rows,
+    and the packed model's logits match the fp fake-quant model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tq_tpu.convert import (convert_cnn, make_cnn_apply, pack_cnn,
+                                static_conv_layer_settings)
+    from tq_tpu.models import resnet
+
+    params = resnet.init(jax.random.PRNGKey(0))
+    specs = resnet.conv_specs()
+    settings = static_conv_layer_settings(specs, 7, 8, 12)
+    qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 7, 3)
+    qstate = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qstate.items()}
+    packed = pack_cnn(qparams, qcfg)
+    dtypes = {str(packed[n]["w"].dtype) for n in qcfg}
+    assert "int8" in dtypes
+    fwd = make_cnn_apply(resnet, qcfg, track=False)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    ref, _ = fwd(qparams, qstate, x)
+    out, _ = fwd(packed, qstate, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)

@@ -29,6 +29,7 @@ __version__ = "0.1.0"
 from tq_tpu.ops.term_reveal import (
     term_reveal,
     term_reveal_elementwise,
+    term_reveal_elementwise_int,
     term_reveal_st,
     uniform_quantize,
 )
@@ -37,6 +38,7 @@ from tq_tpu.ops.hese import hese_digit_planes, hese_terms_count
 __all__ = [
     "term_reveal",
     "term_reveal_elementwise",
+    "term_reveal_elementwise_int",
     "term_reveal_st",
     "uniform_quantize",
     "hese_digit_planes",

@@ -21,7 +21,7 @@ from tq_tpu.layers.common import TRParams, quantize_weight
 from tq_tpu.layers.linear import finalize_quant_state, init_quant_state
 from tq_tpu.layers.qctx import QuantCtx
 
-__all__ = ["convert_cnn", "make_cnn_apply", "finalize_cnn"]
+__all__ = ["convert_cnn", "make_cnn_apply", "finalize_cnn", "pack_cnn"]
 
 
 def convert_cnn(
@@ -89,6 +89,24 @@ def make_cnn_apply(model_mod, qcfg, track: bool, compute_dtype=None):
         return logits, new_state
 
     return forward
+
+
+def pack_cnn(qparams, qcfg):
+    """Serving transform: pack converted conv weights into narrow ints.
+
+    Layers with weight grids <= 7 bits become int8 (the int8 MXU conv
+    path fires when ``data_bits <= 7`` too); <= 15-bit grids become
+    int16 (streamed + dequantized on the fly); 16-bit exempt layers
+    (depthwise/SE policy rows) stay fp32.  Returns new qparams.
+    """
+    from tq_tpu.layers.conv import pack_conv_weights
+
+    out = dict(qparams)
+    for name, tr in qcfg.items():
+        if tr.weight_bits > 15:
+            continue
+        out[name] = pack_conv_weights(qparams[name], tr)
+    return out
 
 
 def finalize_cnn(qstate, qcfg):

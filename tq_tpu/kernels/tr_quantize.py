@@ -105,6 +105,12 @@ def _topk_value(q, bits: int, budget: int):
     so the clear loop is short (3 iterations at the reference's
     wb=9/dt=3 setting) and each step is ``t &= t - 1``.
     """
+    if budget >= max_hese_terms(bits):
+        # Degenerate (every reference UQ row: terms >= bits >= max
+        # automaton terms): all terms kept, value == q.  Statically
+        # skipping the mask/popcount/select math makes UQ-mode
+        # quantization a plain ~10-op uniform quantize.
+        return q
     pos, neg = _digit_masks(q)
     t = pos | neg
     excess = _popcount(t) - budget

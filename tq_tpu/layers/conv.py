@@ -18,10 +18,11 @@ import jax.numpy as jnp
 from tq_tpu.layers.common import TRParams, quantize_weight
 from tq_tpu.layers.quantize import act_quantize, histogram_update
 
-__all__ = ["tr_conv_convert", "tr_conv_apply", "conv2d"]
+__all__ = ["tr_conv_convert", "tr_conv_apply", "pack_conv_weights", "conv2d"]
 
 
-def conv2d(x, w, stride=(1, 1), padding="SAME", groups: int = 1):
+def conv2d(x, w, stride=(1, 1), padding="SAME", groups: int = 1,
+           preferred_element_type=jnp.float32):
     """NHWC x HWIO -> NHWC convolution."""
     return jax.lax.conv_general_dilated(
         x,
@@ -30,7 +31,7 @@ def conv2d(x, w, stride=(1, 1), padding="SAME", groups: int = 1):
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred_element_type,
     )
 
 
@@ -42,6 +43,25 @@ def tr_conv_convert(params, tr: TRParams):
     w_q, w_sf = quantize_weight(params["w"], tr, axis=2)
     out = dict(params)
     out["w"] = w_q
+    out["w_sf"] = w_sf
+    return out
+
+
+def pack_conv_weights(qp, tr: TRParams):
+    """Pack a converted conv layer's weights into narrow integers.
+
+    Serving-time transform (see :func:`pack_dense_weights`): int8 for
+    <= 7-bit weight grids, int16 up to 15 bits.  ``tr_conv_apply``
+    detects packed weights; when activations also fit int8
+    (``tr.data_bits <= 7``) the convolution runs int8 x int8 -> int32
+    on the MXU (2x bf16 rate, EXACT accumulation) with the combined
+    ``sf * w_sf`` dequant applied to the int32 output.
+    """
+    from tq_tpu.kernels.term_matmul import pack_weight_int
+
+    w_int, w_sf = pack_weight_int(qp["w"], qp["w_sf"], tr.weight_bits)
+    out = dict(qp)
+    out["w"] = w_int
     out["w_sf"] = w_sf
     return out
 
@@ -63,8 +83,29 @@ def tr_conv_apply(
     quantization; f32 accumulation.  Default None = fp32 operands (the
     reference's fake-quant + fp32 cuDNN structure).
 
+    Integer-packed weights (:func:`pack_conv_weights`) dispatch the
+    int8 MXU path when ``tr.data_bits <= 7``; otherwise they are
+    dequantized on the fly.
+
     Returns (y, updated_qs).
     """
+    w = qp["w"]
+    w_packed = jnp.issubdtype(w.dtype, jnp.integer)
+    if (w_packed and w.dtype == jnp.int8 and tr.data_bits <= 7
+            and not track and tr.quantize_input):
+        # True integer serving conv: int8 x int8 -> int32, exact.
+        from tq_tpu.ops.term_reveal import term_reveal_elementwise_int
+
+        xi = term_reveal_elementwise_int(
+            x, qs["sf"], tr.data_bits, tr.data_terms).astype(jnp.int8)
+        y = conv2d(xi, w, stride, padding, groups,
+                   preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (qs["sf"] * qp["w_sf"])
+        if qp.get("b") is not None:
+            y = y + qp["b"]
+        return y, qs
+    if w_packed:  # int16 grid or ineligible phase: dequantize on the fly
+        w = w.astype(jnp.float32) * qp["w_sf"]
     if track:
         qs = {**qs, "hist": histogram_update(qs["hist"], x)}
         xq = x
@@ -72,7 +113,6 @@ def tr_conv_apply(
         xq = act_quantize(x, qs["sf"], tr.data_bits, tr.data_terms)
     else:
         xq = x
-    w = qp["w"]
     if compute_dtype is not None and not track:
         xq = xq.astype(compute_dtype)
         w = w.astype(compute_dtype)

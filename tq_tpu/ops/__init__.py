@@ -6,6 +6,7 @@ from tq_tpu.ops.hese import (
 from tq_tpu.ops.term_reveal import (
     term_reveal,
     term_reveal_elementwise,
+    term_reveal_elementwise_int,
     term_reveal_st,
     uniform_quantize,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "hese_terms_count",
     "term_reveal",
     "term_reveal_elementwise",
+    "term_reveal_elementwise_int",
     "term_reveal_st",
     "uniform_quantize",
 ]

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from tq_tpu.ops.hese import hese_digit_planes, num_planes
 
 __all__ = ["uniform_quantize", "term_reveal", "term_reveal_st",
-           "term_reveal_elementwise"]
+           "term_reveal_elementwise", "term_reveal_elementwise_int"]
 
 
 def uniform_quantize(x, sf, bits: int):
@@ -174,6 +174,21 @@ def term_reveal_elementwise(x, sf, bits: int, num_keep_terms: int):
     q, sign = uniform_quantize(x, sf, bits)
     acc = _topk_value(q, bits, num_keep_terms)
     return sign * acc.astype(x.dtype) * sf
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "num_keep_terms"))
+def term_reveal_elementwise_int(x, sf, bits: int, num_keep_terms: int):
+    """:func:`term_reveal_elementwise` without the dequantization.
+
+    Returns the signed int32 quantized values (``+-q_kept``), for paths
+    that feed integer MXU ops directly (int8 convs/matmuls); the caller
+    applies ``* sf`` after the integer contraction.
+    """
+    from tq_tpu.kernels.tr_quantize import _topk_value
+
+    q, _ = uniform_quantize(x, sf, bits)
+    acc = _topk_value(q, bits, num_keep_terms)
+    return jnp.where(x < 0, -acc, acc)
 
 
 @functools.partial(
