@@ -68,3 +68,29 @@ def test_column_parallel_under_jit(mesh, operands):
     ref = term_matmul(x, w, sf, 8, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tp_int8_packed_all_layouts(mesh):
+    """int8-packed weights through every TP layout == unsharded int8."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tq_tpu.kernels.term_matmul import pack_weight_int, term_matmul
+    from tq_tpu.layers.common import TRParams, quantize_weight
+    from tq_tpu.parallel.tp import (tp_term_matmul_col,
+                                    tp_term_matmul_overlap,
+                                    tp_term_matmul_row)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(16, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 32)) * 0.1, jnp.float32)
+    sf = jnp.float32(0.05)
+    wq, w_sf = quantize_weight(w, TRParams(7, 8, 12, 7, 3), axis=0)
+    wi, w_sf2 = pack_weight_int(wq, w_sf, 7)
+    ref = term_matmul(x, wi, sf, 7, 3, int8=True, w_sf=w_sf2)
+    for fn in (tp_term_matmul_col, tp_term_matmul_overlap,
+               tp_term_matmul_row):
+        out = fn(x, wi, sf, 7, 3, mesh, w_sf=w_sf2, int8=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=fn.__name__)
