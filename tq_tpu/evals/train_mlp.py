@@ -99,7 +99,7 @@ def load_or_train(path: str = "pretrained/mnist_mlp.npz", **kw):
     return params
 
 
-if __name__ == "__main__":
+def main(argv=None):
     from tq_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -111,6 +111,10 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--save-model", default="pretrained/mnist_mlp.npz")
-    a = ap.parse_args()
+    a = ap.parse_args(argv)
     Path(a.save_model).parent.mkdir(parents=True, exist_ok=True)
     train(a.epochs, a.batch_size, a.lr, a.gamma, a.seed, a.data_dir, a.save_model)
+
+
+if __name__ == "__main__":
+    main()
