@@ -10,6 +10,11 @@ Usage:
                                          [--val-dir /data]
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 
 import jax

@@ -6,7 +6,21 @@ device count (virtual CPU mesh: JAX_PLATFORMS=cpu
 XLA_FLAGS=--xla_force_host_platform_device_count=8).
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import os
+
 import jax
+
+# The rig may pre-register a TPU plugin and pin jax_platforms before
+# user code runs (sitecustomize), silently overriding JAX_PLATFORMS=cpu;
+# honor the env var explicitly (same dance as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
