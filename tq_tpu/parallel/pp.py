@@ -31,7 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from tq_tpu.parallel._compat import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = [

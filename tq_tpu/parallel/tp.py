@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from tq_tpu.parallel._compat import shard_map
 
 from tq_tpu.kernels.term_matmul import term_matmul
 
