@@ -40,7 +40,11 @@ def main():
     print(f"mesh: {dict(mesh.shape)}  "
           f"(bubble fraction {(n_stage - 1) / (8 + n_stage - 1):.0%} at 8 microbatches)")
 
-    width, n_micro, micro_batch = 512, 8, 32
+    width, n_micro = 512, 8
+    # micro_batch must divide evenly over the mesh's 'data' axis (e.g.
+    # 6 devices -> n_stage=2, n_data=3): round 32 up to a multiple.
+    n_data = mesh.shape["data"]
+    micro_batch = ((32 + n_data - 1) // n_data) * n_data
     rng = np.random.default_rng(0)
     # One TR-quantized dense+ReLU block per stage (weights fake-quantized
     # offline; activations term-revealed on the fly at wb=db=7, dt=3).

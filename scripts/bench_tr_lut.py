@@ -7,7 +7,6 @@ ResNet-scale activation tensor with the chain-slope harness (see
 bench.py for the methodology).
 """
 
-import sys
 import time
 
 import jax
@@ -18,7 +17,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tq_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-from tq_tpu.kernels.tr_quantize import _topk_value, max_hese_terms
+from tq_tpu.kernels.tr_quantize import _topk_value
 from tq_tpu.ops.oracle import term_reveal_oracle
 
 

@@ -8,14 +8,21 @@ presents one stable call signature to the rest of the package.
 
 from __future__ import annotations
 
+import inspect
+
 try:
     from jax import shard_map as _shard_map
-
-    _KW = "check_vma"
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map
 
-    _KW = "check_rep"
+# Feature-detect the kwarg: jax versions in the 0.6-0.7 window exposed
+# top-level jax.shard_map while still spelling the kwarg check_rep, so
+# keying off the import location alone is wrong.
+_KW = (
+    "check_vma"
+    if "check_vma" in inspect.signature(_shard_map).parameters
+    else "check_rep"
+)
 
 __all__ = ["shard_map"]
 

@@ -27,7 +27,7 @@ block so TR serving runs under PP unchanged.
 
 from __future__ import annotations
 
-import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,17 @@ def make_pipeline_mesh(n_stage: int, n_data: int | None = None,
         if n % n_stage:
             raise ValueError(f"{n} devices not divisible by n_stage={n_stage}")
         n_data = n // n_stage
+    if n_data * n_stage > n:
+        raise ValueError(
+            f"mesh needs n_data*n_stage = {n_data}*{n_stage} = "
+            f"{n_data * n_stage} devices but only {n} are available"
+        )
+    if n_data * n_stage < n:
+        warnings.warn(
+            f"pipeline mesh uses {n_data * n_stage} of {n} devices "
+            f"({n - n_data * n_stage} idle)",
+            stacklevel=2,
+        )
     grid = np.asarray(devices[: n_data * n_stage]).reshape(n_data, n_stage)
     return Mesh(grid, ("data", "stage"))
 
