@@ -63,3 +63,48 @@ def test_numpy_twin_matches_jax():
     np.testing.assert_array_equal(
         hese_digit_planes_np(q, 9), np.asarray(hese_digit_planes(q, 9))
     )
+
+
+class TestTransitionMergeTerms:
+    """The merging-neighbors counter behind the published param_bits
+    (reference root-level ``hese()``, tr_layer.py:10-41)."""
+
+    def test_matches_reference_hese_exhaustive(self):
+        """Bit-exact against the reference's own hese() on every value a
+        10-bit TR grid can produce (both signs)."""
+        from reference_harness import load_reference
+        from tq_tpu.ops.hese import transition_merge_terms_np
+
+        ref = load_reference()
+        q = np.arange(-1024, 1025, dtype=np.int64)
+        got = transition_merge_terms_np(q)
+        for v, g in zip(q.tolist(), got.tolist()):
+            assert g == len(ref.tr_layer.hese(v)), v
+
+    def test_closed_form_examples(self):
+        from tq_tpu.ops.hese import transition_merge_terms_np
+
+        # 0 -> no transitions; isolated bit -> merged to 1 term;
+        # run of >=2 -> 2 terms; 55 = 0b110111 (two runs) -> 4, although
+        # sound CSD needs only 3 (+64 -8 -1).
+        got = transition_merge_terms_np(np.array([0, 1, 4, 3, 6, 55, -55]))
+        np.testing.assert_array_equal(got, [0, 1, 1, 2, 2, 4, 4])
+
+    def test_compressed_bits_merge_hack_matches_reference(self):
+        """compressed_hese_bits(merge_hack=True) == the reference's
+        compute_compressed_hese on the same tensor (tr_layer.py:57-63)."""
+        import torch
+
+        from reference_harness import load_reference
+        from tq_tpu.profilers import compressed_hese_bits
+
+        ref = load_reference()
+        rng = np.random.default_rng(7)
+        sf = 0.03125
+        w = (rng.integers(-255, 256, size=(64, 32)) * sf).astype(np.float32)
+        for base in (8, 9, 12, 16):
+            want = ref.tr_layer.compute_compressed_hese(
+                torch.from_numpy(w), sf, base
+            )
+            got = compressed_hese_bits(w, sf, base, base, merge_hack=True)
+            assert got == want

@@ -5,8 +5,20 @@ convert -> profile -> calibration pass on 5% of val -> finalize scales ->
 full eval.  Output schema matches ``results/<arch>-results.json``:
 ``{quant, tr-data2, tr-data3, tr-data4} x {accs, tmacs, avg_terms, params}``.
 
-Sweeps (evaluate_cnn.py:94-127): UQ = wb in {6,7,8,9} at (g=1, wt=9,
-db=dt=9); TR = wb=9, g=8, dt in {2,3,4} x wt in {12,16,20,24}.
+Sweeps: two grids are supported (``--grid``):
+
+* ``committed`` — the reference repo's committed script
+  (evaluate_cnn.py:94-127): UQ = wb in {6,7,8,9} at (g=1, wt=9, db=dt=9);
+  TR = wb=9, g=8, dt in {2,3,4} x wt in {12,16,20,24}.
+* ``published`` (default) — the per-arch grids the *published*
+  ``results/<arch>-results.json`` files were actually generated with,
+  reverse-derived from their avg_terms/tmacs columns (every value is an
+  exact multiple of the spec-table MACs): resnet18/vgg16_bn used
+  UQ wb in {5..9} with wt=wb at dt'=8, and TR wt in {8,10,12,14,16}
+  with dt in {2,3} only; mobilenet_v2/efficientnet_b0 match the
+  committed script.  With this grid every deterministic column of the
+  generated files diffs 1:1 against the published ones
+  (``python -m tq_tpu.evals.compare``).
 
 Improvements over the reference (documented):
   * results flushed after every setting (crash-resumable);
@@ -30,6 +42,31 @@ from tq_tpu.convert import convert_cnn, finalize_cnn, make_cnn_apply, static_con
 from tq_tpu.profilers import cnn_cost, param_count
 
 ARCHS = ("alexnet", "vgg16_bn", "resnet18", "mobilenet_v2", "efficientnet_b0")
+
+# The committed reference script's sweep (evaluate_cnn.py:94-127).
+COMMITTED_GRID = dict(
+    uq_bits=(6, 7, 8, 9), uq_wt=9, uq_db=9, uq_dt=9,
+    tr_data_terms=(2, 3, 4), tr_weight_terms=(12, 16, 20, 24),
+)
+
+# Grids reverse-derived from the published results files (see module
+# docstring).  resnet18/vgg16_bn quant rows have avg_terms == wb (so the
+# run set wt=wb) and tmacs == 8 * wb * macs (so dt'=8; we use db=9, dt=8
+# — only min(dt, db) is observable); their TR files carry 5 rows at
+# avg_terms {1.0..2.0} (wt in {8..16} at g=8) and only tr-data{2,3}.
+PUBLISHED_GRIDS = {
+    "resnet18": dict(
+        uq_bits=(5, 6, 7, 8, 9), uq_wt="wb", uq_db=9, uq_dt=8,
+        tr_data_terms=(2, 3), tr_weight_terms=(8, 10, 12, 14, 16),
+    ),
+    "vgg16_bn": dict(
+        uq_bits=(5, 6, 7, 8, 9), uq_wt="wb", uq_db=9, uq_dt=8,
+        tr_data_terms=(2, 3), tr_weight_terms=(8, 10, 12, 14, 16),
+    ),
+    "mobilenet_v2": dict(COMMITTED_GRID),
+    "efficientnet_b0": dict(COMMITTED_GRID),
+    "alexnet": dict(COMMITTED_GRID),  # no published file; committed sweep
+}
 
 
 def get_model(arch: str):
@@ -142,6 +179,9 @@ def run_sweep(
     batch_size: int = 64,
     n_synth: int = 512,
     uq_bits=(6, 7, 8, 9),
+    uq_wt=9,
+    uq_db=9,
+    uq_dt=9,
     tr_data_terms=(2, 3, 4),
     tr_weight_terms=(12, 16, 20, 24),
     verbose: bool = True,
@@ -179,7 +219,8 @@ def run_sweep(
     for i, wb in enumerate(uq_bits):  # evaluate_cnn.py:95-109
         if i < done["quant"]:
             continue
-        record("quant", eval_setting(m, params, wb, 1, 9, 9, 9, **kw))
+        wt = wb if uq_wt == "wb" else uq_wt
+        record("quant", eval_setting(m, params, wb, 1, wt, uq_db, uq_dt, **kw))
     for dt in tr_data_terms:  # evaluate_cnn.py:111-127
         for j, wt in enumerate(tr_weight_terms):
             if j < done[f"tr-data{dt}"]:
@@ -202,9 +243,16 @@ def main(argv=None):
     ap.add_argument("-b", "--batch-size", type=int, default=64)
     ap.add_argument("--n-synth", type=int, default=512)
     ap.add_argument("--out-file", default=None)
+    ap.add_argument("--grid", default="published",
+                    choices=["published", "committed"],
+                    help="sweep settings: the published results files' "
+                         "grids (default) or the committed script's")
     a = ap.parse_args(argv)
     out = a.out_file or f"results/{a.arch}-results.json"
-    run_sweep(a.arch, a.checkpoint, a.val_dir, out, a.batch_size, a.n_synth)
+    grid = (PUBLISHED_GRIDS[a.arch] if a.grid == "published"
+            else COMMITTED_GRID)
+    run_sweep(a.arch, a.checkpoint, a.val_dir, out, a.batch_size, a.n_synth,
+              **grid)
 
 
 if __name__ == "__main__":

@@ -64,7 +64,8 @@ def _run_epoch(fwd, qparams, qstate, stream, vocab, update_state: bool):
 
 
 def evaluate_setting(params, wb, wt, db, dt, gs, stream, vocab,
-                     quantize_decoder_input=False, quantize_layers=(0,)):
+                     quantize_decoder_input=False, quantize_layers=(0,),
+                     merge_hack=True):
     qparams, qcfg, qstate = lstm_lm.convert(
         params, wb, gs, wt, db, dt,
         quantize_layers=quantize_layers,
@@ -82,7 +83,8 @@ def evaluate_setting(params, wb, wt, db, dt, gs, stream, vocab,
     nhid = qparams["decoder"]["w"].shape[0]
     tmacs = dense_term_macs(BPTT * EVAL_BATCH * vocab, nhid, tr)
     param_bits = dense_param_bits(
-        qparams["decoder"]["w"], qparams["decoder"]["w_sf"], tr
+        qparams["decoder"]["w"], qparams["decoder"]["w_sf"], tr,
+        merge_hack=merge_hack,
     )
     return ppl, tmacs, param_bits
 
@@ -127,7 +129,7 @@ def evaluate_setting_transformer(params, wb, wt, db, dt, gs, stream, vocab,
 
 def run_sweep(wb, wt, db, dt, gs, out_file=None, checkpoint=None,
               data_dir=None, limit_tokens=None, verbose=True,
-              model: str = "LSTM"):
+              model: str = "LSTM", merge_hack=True):
     from tq_tpu.data.wikitext import batchify, load_corpus
 
     corpus, source = load_corpus(data_dir)
@@ -167,7 +169,8 @@ def run_sweep(wb, wt, db, dt, gs, out_file=None, checkpoint=None,
             )
         else:
             ppl, tmacs, bits = evaluate_setting(
-                params, *setting, stream=stream, vocab=vocab
+                params, *setting, stream=stream, vocab=vocab,
+                merge_hack=merge_hack,
             )
         results["ppls"].append(ppl)
         results["tmacs"].append(float(tmacs))
@@ -218,9 +221,13 @@ def main(argv=None):
     ap.add_argument("--data", default=None)
     ap.add_argument("--limit-tokens", type=int, default=None)
     ap.add_argument("--model", default="LSTM", choices=["LSTM", "Transformer"])
+    ap.add_argument("--sound-hese", action="store_true",
+                    help="count param_bits with the sound CSD automaton "
+                         "instead of the reference's merging-neighbors hese()")
     a = ap.parse_args(argv)
     run_sweep(a.wb, a.wt, a.db, a.dt, a.gs, a.out_file, a.checkpoint,
-              a.data, a.limit_tokens, model=a.model)
+              a.data, a.limit_tokens, model=a.model,
+              merge_hack=not a.sound_hese)
 
 
 if __name__ == "__main__":

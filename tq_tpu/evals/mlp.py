@@ -42,6 +42,7 @@ def evaluate_setting(
     calib_pct: float = 0.05,
     quantize_input: bool = False,
     shuffle_seed: int | None = 0,
+    merge_hack: bool = True,
 ):
     """Run one (wb, wt, db, dt, gs) setting; returns (acc%, tmacs, bits).
 
@@ -85,14 +86,15 @@ def evaluate_setting(
     weights = {n: qparams[n]["w"] for n in mlp.LAYER_NAMES}
     scales = {n: qparams[n]["w_sf"] for n in mlp.LAYER_NAMES}
     tmacs, param_bits = model_cost(
-        list(zip(mlp.layer_costs(batch=1), layer_trs)), weights, scales
+        list(zip(mlp.layer_costs(batch=1), layer_trs)), weights, scales,
+        merge_hack=merge_hack,
     )
     return acc, tmacs, param_bits
 
 
 def run_sweep(
     wb, wt, db, dt, gs, out_file, checkpoint="pretrained/mnist_mlp.npz",
-    data_dir=None, quantize_input=False, verbose=True,
+    data_dir=None, quantize_input=False, verbose=True, merge_hack=True,
 ):
     from tq_tpu.data import load_mnist
 
@@ -113,7 +115,7 @@ def run_sweep(
             continue
         acc, tmacs, bits = evaluate_setting(
             params, *setting, x_test=x_test, y_test=y_test,
-            quantize_input=quantize_input,
+            quantize_input=quantize_input, merge_hack=merge_hack,
         )
         results["accs"].append(acc)
         results["tmacs"].append(float(tmacs))
@@ -142,9 +144,13 @@ def main(argv=None):
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--fixed-linear", action="store_true",
                     help="really quantize dense inputs (fixes tr_layer.py:154)")
+    ap.add_argument("--sound-hese", action="store_true",
+                    help="count param_bits with the sound CSD automaton "
+                         "instead of the reference's merging-neighbors hese()")
     a = ap.parse_args(argv)
     run_sweep(a.wb, a.wt, a.db, a.dt, a.gs, a.out_file, a.checkpoint,
-              a.data_dir, quantize_input=a.fixed_linear)
+              a.data_dir, quantize_input=a.fixed_linear,
+              merge_hack=not a.sound_hese)
 
 
 if __name__ == "__main__":

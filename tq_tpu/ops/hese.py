@@ -33,7 +33,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["hese_digit_planes", "hese_terms_count", "num_planes"]
+__all__ = [
+    "hese_digit_planes",
+    "hese_terms_count",
+    "num_planes",
+    "transition_merge_terms_np",
+]
 
 
 def num_planes(bits: int) -> int:
@@ -109,6 +114,42 @@ def binary_digit_planes(q, bits: int):
     T = num_planes(bits)
     planes = [_bit(q, p) for p in range(T)]
     return jnp.stack(planes, axis=-1).astype(jnp.int32)
+
+
+def transition_merge_terms_np(q) -> np.ndarray:
+    """Term counts per the reference's *root-level* ``hese()`` with its
+    "merging neighbors hack" (``tr_layer.py:10-41``) — the counter behind
+    every published compressed-HESE ``param_bits`` column.
+
+    That function is not the CUDA automaton: it emits one signed term per
+    0<->1 *transition* of ``|q|`` (padded with zeros on both ends), so a
+    maximal run of 1s from bit ``a`` to bit ``b`` yields the exact pair
+    ``(-2^a, +2^(b+1))``.  Transitions come in such pairs, the exponent
+    list is always even-length, and the fixed pairing ``(0,1),(2,3),...``
+    of the merging hack therefore aligns pairs with runs exactly: a
+    length-1 run (``b == a``) satisfies ``exponents[i+1] == -2*exponents[i]``
+    and collapses to one term; every longer run keeps two.  Hence
+
+        terms(q) = 2 * (#maximal 1-runs of |q|) - (#length-1 runs)
+
+    with ``terms(0) == 0`` (``bin(0)`` has no transitions).  This differs
+    from the sound CSD count of :func:`hese_terms_count` — e.g.
+    ``0b110111 = 55`` is 3 CSD terms (+64-8-1) but two runs -> 4 here —
+    which is why the published mnist-tr/lstm-tr param_bits cannot be
+    reproduced by a sound HESE counter (PARITY.md quantifies the gap).
+
+    Returns an int64 array of ``q``'s shape.
+    """
+    q = np.abs(np.asarray(q, dtype=np.int64))
+    starts = q & ~(q << 1)          # bit set, bit below clear: run start
+    singles = starts & ~(q >> 1)    # ... and bit above clear: length-1 run
+    nbits = int(q.max()).bit_length() if q.size else 0
+    runs = np.zeros(q.shape, dtype=np.int64)
+    ones = np.zeros(q.shape, dtype=np.int64)
+    for p in range(nbits):
+        runs += (starts >> p) & 1
+        ones += (singles >> p) & 1
+    return 2 * runs - ones
 
 
 def hese_terms_count(q, bits: int):

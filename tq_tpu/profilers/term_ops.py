@@ -89,7 +89,9 @@ def dense_term_macs(out_elems: int, in_features: int, tr: TRParams) -> int:
     return int(dt * (wt / tr.group_size) * macs)
 
 
-def compressed_hese_bits(w, w_sf, weight_terms: int, weight_bits: int) -> int:
+def compressed_hese_bits(
+    w, w_sf, weight_terms: int, weight_bits: int, merge_hack: bool = False
+) -> int:
     """Compressed-HESE storage bits of a quantized weight tensor.
 
     Reference ``compute_compressed_hese`` (tr_layer.py:57-63): each term
@@ -102,6 +104,12 @@ def compressed_hese_bits(w, w_sf, weight_terms: int, weight_bits: int) -> int:
     right base.  ``weight_terms`` is accepted here for signature parity
     but unused, matching the reference's observable behaviour.
 
+    ``merge_hack=True`` counts terms with the reference's root-level
+    ``hese()`` including its "merging neighbors hack" (tr_layer.py:32-39)
+    — the counter the published param_bits columns were produced with;
+    ``False`` uses the sound CSD automaton of the CUDA kernel.  See
+    :func:`tq_tpu.ops.hese.transition_merge_terms_np`.
+
     Note the reference truncates toward zero (``.int()``) on the
     *already term-revealed* weights, whose magnitudes are exact multiples
     of ``w_sf`` — so truncation == exact division there.
@@ -109,15 +117,22 @@ def compressed_hese_bits(w, w_sf, weight_terms: int, weight_bits: int) -> int:
     exp_bits = math.ceil(math.log2(weight_bits))
     per_term = exp_bits + 2
     q = jnp.abs(jnp.trunc(jnp.asarray(w) / w_sf)).astype(jnp.int32)
-    nterms = int(jnp.sum(hese_terms_count(q, weight_bits + 1)))
+    if merge_hack:
+        from tq_tpu.ops.hese import transition_merge_terms_np
+
+        nterms = int(np.sum(transition_merge_terms_np(np.asarray(q))))
+    else:
+        nterms = int(jnp.sum(hese_terms_count(q, weight_bits + 1)))
     return per_term * nterms
 
 
-def dense_param_bits(w, w_sf, tr: TRParams) -> int:
+def dense_param_bits(w, w_sf, tr: TRParams, merge_hack: bool = False) -> int:
     """Weight storage bits for a dense layer (profile_model.py:42-46)."""
     if tr.group_size == 1:
         return int(np.prod(np.asarray(w).shape)) * tr.weight_bits
-    return compressed_hese_bits(w, w_sf, tr.weight_terms, tr.weight_bits)
+    return compressed_hese_bits(
+        w, w_sf, tr.weight_terms, tr.weight_bits, merge_hack=merge_hack
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,6 +153,7 @@ def model_cost(
     layers: Iterable[tuple[LayerCost, TRParams]],
     weights: Optional[dict] = None,
     scales: Optional[dict] = None,
+    merge_hack: bool = False,
 ) -> tuple[int, int]:
     """(term_macs, param_bits) over a converted model.
 
@@ -159,7 +175,8 @@ def model_cost(
                 pbits += lc.weight_numel * tr.weight_bits
             elif weights is not None and lc.name in weights:
                 pbits += compressed_hese_bits(
-                    weights[lc.name], scales[lc.name], tr.weight_terms, tr.weight_bits
+                    weights[lc.name], scales[lc.name], tr.weight_terms,
+                    tr.weight_bits, merge_hack=merge_hack,
                 )
         elif lc.kind == "lstm":
             # tr_lstm_ops is a no-op in the reference (profile_model.py:48-49)
