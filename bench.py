@@ -126,10 +126,25 @@ def bench_quantize(chains: int = 5) -> dict:
         for _ in range(chains)
     ]
     t_plain = _slope_time(lambda c, sf: term_reveal(c, sf, bits, 1, terms), x)
+    # Same-session copy ceiling: a Pallas kernel with the IDENTICAL grid
+    # and BlockSpecs whose body only scales the tile (an XLA-fused
+    # `x * c` elementwise measures a misleading ~40% LOWER — XLA's
+    # elementwise tiling moves less per pass than this kernel's).
+    # Absolute GB/s swings with chip/tunnel state ACROSS sessions
+    # (176-324 observed); within a session the spread is ~2%, so "at
+    # the ceiling" is only meaningful against a ceiling measured in the
+    # same run — reported as `copy_ceiling` / `pct_ceiling`.
+    from tq_tpu.kernels.tr_quantize import tr_scale_copy
+
+    t_copy = _slope_time(
+        lambda c, sf: tr_scale_copy(c, sf, interpret=not on_tpu),
+        x, iters=200,
+    )
 
     nbytes = x.size * 4 * 2  # one read + one write
     gbs = sorted(nbytes / t / 1e9 for t in ts)
     med = gbs[len(gbs) // 2]
+    ceiling = nbytes / t_copy / 1e9
     return {
         "metric": "tr_quantize_bandwidth",
         "value": round(med, 2),
@@ -138,6 +153,8 @@ def bench_quantize(chains: int = 5) -> dict:
         "min": round(gbs[0], 2),
         "max": round(gbs[-1], 2),
         "chains": chains,
+        "copy_ceiling": round(ceiling, 2),
+        "pct_ceiling": round(100 * med / ceiling, 1),
     }
 
 

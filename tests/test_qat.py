@@ -55,3 +55,23 @@ def test_qat_training_reduces_loss(rng):
     wq = term_reveal(params["w"], jnp.float32(0.02), 8, 8, 12, axis=0)
     ratio = np.asarray(wq) / 0.02
     np.testing.assert_allclose(ratio, np.round(ratio), atol=1e-4)
+
+
+def test_qat_mlp_apply_and_grad(rng):
+    """qat_mlp demo plumbing: ST forward produces finite log-probs and
+    nonzero straight-through gradients to every layer."""
+    from tq_tpu.evals.qat_mlp import qat_apply
+    from tq_tpu.models import mlp
+
+    params = mlp.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.normal(size=(8, 1, 28, 28)), jnp.float32)
+    logp = qat_apply(params, x, 1, 1, 1, 6, 6)
+    assert logp.shape == (8, 10)
+    assert bool(jnp.all(jnp.isfinite(logp)))
+
+    def loss(p):
+        return -jnp.mean(qat_apply(p, x, 1, 1, 1, 6, 6)[:, 0])
+
+    g = jax.grad(loss)(params)
+    for name in mlp.LAYER_NAMES:
+        assert float(jnp.sum(jnp.abs(g[name]["w"]))) > 0

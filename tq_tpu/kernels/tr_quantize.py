@@ -72,14 +72,21 @@ def _quantize(x, sf, bits: int):
     return q, sign
 
 
-def _popcount(v):
+def _popcount(v, width: int = 32):
     """SWAR popcount for non-negative values < 2**31 (digit masks span
-    ``bits + 1`` planes, so 16-bit grids produce 17-bit masks)."""
+    ``bits + 1`` planes, so 16-bit grids produce 17-bit masks).
+
+    ``width``: static bound on the operand's bit width; narrower masks
+    skip the upper folds (two fewer VPU ops per element for the <= 16
+    bit masks every real grid produces)."""
     v = v - ((v >> 1) & 0x55555555)
     v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
     v = (v + (v >> 4)) & 0x0F0F0F0F
-    v = v + (v >> 8)
-    return (v + (v >> 16)) & 0x3F
+    if width > 8:
+        v = v + (v >> 8)
+    if width > 16:
+        v = v + (v >> 16)
+    return v & 0x3F
 
 
 def max_hese_terms(bits: int) -> int:
@@ -94,30 +101,65 @@ def max_hese_terms(bits: int) -> int:
     return 2 * (bits + 1) // 3
 
 
+def _top_bit(r):
+    """Mask of ``r``'s highest set bit; 0 for r == 0.  Exact for
+    0 <= r < 2**24: the i32->f32 convert rounds to nearest but cannot
+    bump past the value, so clearing the mantissa of float(r) yields
+    exactly 2**floor(log2 r) (and 0.0 for 0) — 4 VPU ops, no popcount,
+    no zero guard."""
+    f = r.astype(jnp.float32)
+    e = jax.lax.bitcast_convert_type(f, jnp.int32) & jnp.int32(-8388608)
+    return jax.lax.bitcast_convert_type(e, jnp.float32).astype(_INT)
+
+
 def _topk_value(q, bits: int, budget: int):
     """Integer value of ``q``'s ``budget`` largest HESE terms — loop-free.
 
-    ``pos``/``neg`` are disjoint bit masks, so the reconstructed value of
-    any kept subset ``m`` is just ``(pos & m) - (neg & m)`` read as
-    integers.  Keeping the top ``budget`` terms == clearing the
-    ``popcount - budget`` lowest set bits of ``t = pos | neg``; the
-    excess is statically bounded by ``max_hese_terms(bits) - budget``,
-    so the clear loop is short (3 iterations at the reference's
-    wb=9/dt=3 setting) and each step is ``t &= t - 1``.
+    The automaton's term positions form a bit mask ``t`` with
+    ``pos``/``neg`` disjoint, so the reconstructed value of any kept
+    subset ``m`` is ``(pos & m) - (neg & m)`` read as integers
+    == ``m - 2 * (m & neg)``.  Two statically-chosen strategies pick the
+    kept mask (this is the hot ~8 ops/element of the whole framework —
+    every activation element of every quantized layer runs it):
+
+    * ``budget`` extractions of the top set bit via the f32-exponent
+      trick (cheapest at small budgets — the reference's dt=2..4);
+    * popcount + clear-lowest-bit chain + branch-free select
+      (cheapest when ``max_hese_terms - budget`` is the smaller count).
     """
     if budget >= max_hese_terms(bits):
         # Degenerate (every reference UQ row: terms >= bits >= max
         # automaton terms): all terms kept, value == q.  Statically
-        # skipping the mask/popcount/select math makes UQ-mode
-        # quantization a plain ~10-op uniform quantize.
+        # skipping the mask/select math makes UQ-mode quantization a
+        # plain ~10-op uniform quantize.
         return q
-    pos, neg = _digit_masks(q)
-    t = pos | neg
-    excess = _popcount(t) - budget
-    for _ in range(max(0, max_hese_terms(bits) - budget)):
-        t = jnp.where(excess > 0, t & (t - 1), t)
-        excess = excess - 1
-    return (pos & t) - (neg & t)
+    # Term-position mask and the negative-term mask, directly:
+    #   t   = (cur & ~dn1) | (~cur & dn1 & dn2)
+    #   neg =  up & (cur & ~dn1);     pos = t ^ neg
+    # (3 fewer ops than building pos/neg separately via _digit_masks).
+    dn1 = q << 1
+    a = q & ~dn1
+    t = a | (dn1 & (q << 2) & ~q)
+    neg = (q >> 1) & a
+    n_extract = budget
+    n_clear = max_hese_terms(bits) - budget
+    if n_extract * 4 <= n_clear * 4 + 9:
+        # Keep-side: peel the top bit `budget` times; the residual r is
+        # the dropped low terms, so kept = t ^ r.  Zero-safe, no
+        # popcount, no selects.
+        r = t
+        for _ in range(n_extract):
+            r = r - _top_bit(r)
+        kept = t ^ r
+    else:
+        # Drop-side: clear the (popcount - budget) lowest set bits.
+        excess = _popcount(t, width=bits + 1) - budget
+        kept = t
+        u = t
+        for i in range(1, n_clear + 1):
+            u = u & (u - 1)
+            kept = jnp.where(excess >= i, u, kept)
+    return kept - ((kept & neg) << 1)
 
 
 def _elementwise_body(sf_ref, x_ref, o_ref, *, bits: int, budget: int):
@@ -158,6 +200,41 @@ def _grouped_body(sf_ref, x_ref, o_ref, *, bits: int, budget: int):
 
 def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tr_scale_copy(x, sf, interpret: bool | None = None):
+    """Roofline comparator: the elementwise kernel's exact grid/BlockSpecs
+    with a body that only scales the tile — the same-session copy
+    ceiling the quantize kernel is measured against (bench.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sf_arr = jnp.asarray(sf, jnp.float32).reshape(1)
+    flat = x.reshape(-1)
+    n = flat.shape[0]
+    cols = _LANE * 8
+    rows_needed = -(-n // cols)
+    tile_r = min(256, _pad_to(rows_needed, 8))
+    padded_rows = _pad_to(rows_needed, tile_r)
+    xp = jnp.pad(flat, (0, padded_rows * cols - n)).reshape(padded_rows, cols)
+
+    def body(sf_ref, x_ref, o_ref):
+        o_ref[:] = x_ref[:] * sf_ref[0]
+
+    out = pl.pallas_call(
+        body,
+        grid=(padded_rows // tile_r,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded_rows, cols), x.dtype),
+        interpret=interpret,
+    )(sf_arr, xp)
+    return out.reshape(-1)[:n].reshape(x.shape)
 
 
 @functools.partial(
