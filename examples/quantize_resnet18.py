@@ -65,12 +65,20 @@ def main():
         break  # ~5% of val in real runs
     qstate = finalize_cnn(qstate, qcfg)  # MSE scale search per layer
 
-    # 5. Phase 2: quantized inference.
+    # 5. Phase 2: quantized inference.  The parity path keeps f32
+    #    tensors (the reference's fake-quant structure); pass
+    #    compute_dtype=jnp.bfloat16 for the serving mode — every
+    #    inter-layer tensor moves at 2 bytes, ~1.2x faster end to end
+    #    (PERF.md), same top-1.
     infer = make_cnn_apply(m, qcfg, track=False)
+    serve = make_cnn_apply(m, qcfg, track=False, compute_dtype=jnp.bfloat16)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 224, 224, 3)),
                     jnp.float32)
     logits, _ = infer(qparams, qstate, x)
+    slogits, _ = serve(qparams, qstate, x)
     print("logits:", logits.shape, "top-1:", jnp.argmax(logits, -1).tolist())
+    print("serving-mode top-1 agrees:",
+          bool(jnp.all(jnp.argmax(slogits, -1) == jnp.argmax(logits, -1))))
 
 
 if __name__ == "__main__":
