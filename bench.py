@@ -281,7 +281,69 @@ def bench_resnet(int8: bool = False, uq: bool = False,
     }
 
 
+def bench_lstm() -> dict:
+    """``bench.py lstm``: quantized wikitext LSTM-LM eval throughput
+    (tokens/s) vs the fp32 forward, at the published TR sweep's top
+    setting (wb=8, g=8, wt=24, db=dt=8) with real input quantization
+    (`quantize_decoder_input=True`, the fixed TRLinearLayer behaviour)
+    so the decoder runs the fused quantize+matmul Pallas kernel — the
+    bf16 integer-operand path is exact for 8-bit grids.
+
+    The chain carries the recurrent ``hidden`` state, so data dependence
+    is intrinsic (no scale-perturbation trick needed)."""
+    import jax.random as jrandom
+
+    from tq_tpu.models import lstm_lm
+
+    bptt, batch = 35, 64
+    params = lstm_lm.init(jrandom.PRNGKey(0))
+    qparams, qcfg, qstate = lstm_lm.convert(
+        params, 8, 8, 24, 8, 8, quantize_decoder_input=True)
+    qstate = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qstate.items()}
+    fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
+    fp32 = jax.jit(lstm_lm.apply)
+
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, lstm_lm.VOCAB, (bptt, batch)),
+        jnp.int32,
+    )
+    h0 = lstm_lm.init_hidden(batch)
+
+    def timed(step, n):
+        h = h0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            h = step(h)
+        float(jnp.sum(h[0][0]))
+        return time.perf_counter() - t0
+
+    def q_step(h):
+        _, h, _ = fwd(qparams, qstate, tokens, h)
+        return h
+
+    def f_step(h):
+        _, h = fp32(params, tokens, h)
+        return h
+
+    iters = 30
+    for step in (q_step, f_step):
+        timed(step, 1)  # compile
+    t_q = (min(timed(q_step, iters) for _ in range(3))
+           - min(timed(q_step, 1) for _ in range(3))) / (iters - 1)
+    t_f = (min(timed(f_step, iters) for _ in range(3))
+           - min(timed(f_step, 1) for _ in range(3))) / (iters - 1)
+    return {
+        "metric": "lstm_tr_tokens_per_s",
+        "value": round(bptt * batch / max(t_q, 1e-9), 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(t_f / max(t_q, 1e-9), 3),
+    }
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "lstm":
+        print(json.dumps(bench_lstm()))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "matmul":
         print(json.dumps(bench_matmul(int8="int8" in sys.argv)))
         return
