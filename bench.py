@@ -7,6 +7,15 @@ driver-captured record carries every headline number, not just one:
   term_matmul_int8        int8xint8->int32 MXU TFLOP/s (vs unfused bf16)
   resnet18_tr_inference   end-to-end 9-bit TR ResNet-18 imgs/s (vs fp32)
   resnet18_uq_inference_int8  7-bit UQ int8-serving imgs/s (vs fp32)
+  lstm_tr_tokens_per_s    quantized wikitext LSTM eval tokens/s (vs fp32)
+
+Resilience (VERDICT r2 missing #1): the full suite runs each metric in
+its OWN subprocess (isolation from hard crashes AND from same-process
+device-state pollution, which measured up to 2x on the later metrics);
+inside each, backend init is retried with backoff and degrades to CPU
+(tagged ``"backend": "cpu"``), and a failure prints
+``{"metric": ..., "error": ...}`` instead of killing the suite.  The
+suite always exits 0 with one line per metric.
 
 The reference has no wall-clock numbers (its CUDA kernel is a fidelity
 simulator, SURVEY.md §6); each ``vs_baseline`` is against the honest
@@ -33,9 +42,18 @@ from __future__ import annotations
 import json
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the suite runs each metric in its own
+# subprocess (see SUITE), and first compiles over this rig's remote-
+# compile tunnel cost ~100 s each — the cache makes every re-compile
+# (across subprocesses AND across driver runs) a disk hit.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tq_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 
 # Persistent compilation cache: first-ever run pays the (slow, remote)
@@ -340,32 +358,159 @@ def bench_lstm() -> dict:
     }
 
 
+def _init_backend(retries: int = 4, base_delay: float = 5.0) -> str:
+    """Touch the backend with retry-and-backoff.
+
+    On this rig the TPU plugin can transiently fail to initialize
+    (BENCH_r02 died at the first ``jax.default_backend()`` call with
+    UNAVAILABLE).  JAX caches a *failed* backend init, so a bare retry
+    of ``jax.devices()`` in the same process would re-raise the cached
+    error; ``jax.extend.backend.clear_backends`` resets that cache
+    between attempts.  After the last failed attempt, fall back to CPU
+    (``JAX_PLATFORMS=cpu`` honoured at next init) so every metric still
+    produces a line — tagged with ``"backend": "cpu"`` so a CPU-degraded
+    record can't be mistaken for a TPU one.
+    """
+    last_err = None
+    for attempt in range(retries):
+        try:
+            backend = jax.default_backend()
+            jnp.zeros(()).block_until_ready()
+            return backend
+        except Exception as e:  # noqa: BLE001 — init errors vary by plugin
+            last_err = e
+            print(json.dumps({
+                "event": "backend_init_retry",
+                "attempt": attempt + 1,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }), file=sys.stderr, flush=True)
+            try:
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+            time.sleep(base_delay * (attempt + 1))
+    # Degrade to CPU rather than crash the whole record.
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        jax.extend.backend.clear_backends()
+    except Exception:
+        pass
+    try:
+        backend = jax.default_backend()
+        print(json.dumps({
+            "event": "backend_degraded",
+            "backend": backend,
+            "error": f"{type(last_err).__name__}: {last_err}"[:300],
+        }), file=sys.stderr, flush=True)
+        return backend
+    except Exception as e:  # truly nothing works
+        print(json.dumps({
+            "event": "backend_unavailable",
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }), file=sys.stderr, flush=True)
+        return "none"
+
+
+def _safe(name: str, make, backend: str) -> bool:
+    """Run one metric; print its JSON line, or a structured error line.
+
+    Returns True iff a line was printed (always, barring stdout loss) —
+    a metric failure must never take down the rest of the suite
+    (VERDICT r2 missing #1)."""
+    try:
+        rec = make()
+        if backend != "tpu":
+            rec["backend"] = backend  # flag degraded records
+        print(json.dumps(rec), flush=True)
+    except Exception as e:  # noqa: BLE001 — isolate per metric
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": name,
+            "error": f"{type(e).__name__}: {e}"[:300],
+            "backend": backend,
+        }), flush=True)
+    return True
+
+
+# metric name -> bench.py subcommand argv.  The full suite runs each
+# metric in its OWN subprocess: measured in round 3, running them
+# sequentially in one process degrades the later metrics up to 2x
+# (12.6k vs 26.4k imgs/s for the int8-UQ row) — compile-cache and
+# device-state pollution from the earlier benches — and a hard crash
+# (segfault/OOM) in one metric would otherwise kill the record.
+SUITE = (
+    ("tr_quantize_bandwidth", ["quantize"]),
+    ("term_matmul_fused", ["matmul"]),
+    ("term_matmul_int8", ["matmul", "int8"]),
+    # 9-bit TR headline, serving IO:
+    ("resnet18_tr_inference_bf16io", ["resnet", "bf16"]),
+    ("resnet18_uq_inference_int8_bf16io", ["resnet", "int8", "uq", "bf16"]),
+    ("lstm_tr_tokens_per_s", ["lstm"]),
+)
+
+
+def _run_suite() -> int:
+    """Spawn one subprocess per metric; always emit one line each."""
+    import os
+    import subprocess
+
+    printed = 0
+    for name, argv in SUITE:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *argv],
+                capture_output=True, text=True, timeout=900,
+            )
+            line = None
+            for ln in reversed(proc.stdout.splitlines()):
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    line = ln
+                    break
+            if line is not None:
+                print(line, flush=True)
+            else:
+                tail = (proc.stderr or proc.stdout or "").strip()[-300:]
+                print(json.dumps({
+                    "metric": name, "error":
+                    f"rc={proc.returncode}, no JSON line: {tail}",
+                }), flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"metric": name,
+                              "error": "timeout after 900s"}), flush=True)
+        except Exception as e:  # noqa: BLE001 — keep the record alive
+            print(json.dumps({
+                "metric": name,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }), flush=True)
+        printed += 1
+    return printed
+
+
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "lstm":
-        print(json.dumps(bench_lstm()))
-        return
-    if len(sys.argv) > 1 and sys.argv[1] == "matmul":
-        print(json.dumps(bench_matmul(int8="int8" in sys.argv)))
-        return
-    if len(sys.argv) > 1 and sys.argv[1] == "resnet":
-        print(json.dumps(bench_resnet(int8="int8" in sys.argv,
-                                      uq="uq" in sys.argv,
-                                      bf16="bf16" in sys.argv)))
-        return
-    if len(sys.argv) > 1 and sys.argv[1] == "quantize":
-        print(json.dumps(bench_quantize()))
-        return
-    # Full suite (the driver's default run): weakest-first so the
-    # strongest numbers (int8 matmul at the HBM roofline; int8-UQ ResNet
-    # faster than fp32) close the record.
-    for make in (
-        bench_quantize,
-        bench_matmul,
-        lambda: bench_matmul(int8=True),
-        lambda: bench_resnet(bf16=True),  # 9-bit TR headline, serving IO
-        lambda: bench_resnet(int8=True, uq=True, bf16=True),
-    ):
-        print(json.dumps(make()), flush=True)
+    if len(sys.argv) > 1:
+        backend = _init_backend()
+        if sys.argv[1] == "lstm":
+            _safe("lstm_tr_tokens_per_s", bench_lstm, backend)
+            return
+        if sys.argv[1] == "matmul":
+            _safe("term_matmul",
+                  lambda: bench_matmul(int8="int8" in sys.argv), backend)
+            return
+        if sys.argv[1] == "resnet":
+            _safe("resnet18_inference",
+                  lambda: bench_resnet(int8="int8" in sys.argv,
+                                       uq="uq" in sys.argv,
+                                       bf16="bf16" in sys.argv), backend)
+            return
+        if sys.argv[1] == "quantize":
+            _safe("tr_quantize_bandwidth", bench_quantize, backend)
+            return
+    # rc=0 whenever the record carries at least one line (value or
+    # structured error) — never hand the driver an unparseable rc=1.
+    sys.exit(0 if _run_suite() else 1)
 
 
 if __name__ == "__main__":

@@ -87,14 +87,21 @@ def main():
 
     for bm in (256, 512, 1024):
         for bk in (512, 1024, 2048):
-            if bk > K or vmem_bytes(bm, bk) > 14 * 2**20:
+            if bk > K or vmem_bytes(bm, bk) > 40 * 2**20:
                 continue
             add(
                 f"fused fp32w bm{bm} bk{bk}",
                 lambda x, sf, bm=bm, bk=bk: term_matmul(
-                    x, w_tr, sf, BITS, TERMS, bf16=True,
+                    x, w_tr, sf, BITS, TERMS, bf16=True, pipeline=False,
                     interpret=not on_tpu, bm=bm, bk=bk),
             )
+            for bsub in (128, 256, 512):
+                add(
+                    f"fused fp32w bm{bm} bk{bk} PIPE/{bsub}",
+                    lambda x, sf, bm=bm, bk=bk, bsub=bsub: term_matmul(
+                        x, w_tr, sf, BITS, TERMS, bf16=True, pipeline=True,
+                        interpret=not on_tpu, bm=bm, bk=bk, bsub=bsub),
+                )
     for bm in (512, 1024):
         add(
             f"fused int16w bm{bm} bk1024",
@@ -105,9 +112,53 @@ def main():
     add(
         "fused bf16w bm512 bk1024",
         lambda x, sf: term_matmul(
-            x, w_tr_bf, sf, BITS, TERMS, bf16=True,
+            x, w_tr_bf, sf, BITS, TERMS, bf16=True, pipeline=False,
             interpret=not on_tpu, bm=512, bk=1024),
     )
+    add(
+        "fused bf16w bm512 bk1024 PIPE",
+        lambda x, sf: term_matmul(
+            x, w_tr_bf, sf, BITS, TERMS, bf16=True, pipeline=True,
+            interpret=not on_tpu, bm=512, bk=1024),
+    )
+
+    # --- 9-bit-exact alternatives (VERDICT r2 next #8): can a 9-bit grid
+    # ride the int8 MXU by operand splitting, instead of bf16?  A 9-bit
+    # magnitude q in [0, 511] with sign splits as q = q_hi*16 + q_lo
+    # (two int8-safe halves, |signed| <= 511/16 < 128 and < 16), so
+    #   x9 @ w = 16*(x_hi @ w) + (x_lo @ w)  — 2 int8 passes for one-sided
+    # 9-bit data against int8 (<=7-bit) weights, 4 passes two-sided.
+    w7_sf = jnp.max(jnp.abs(w)) / 2 ** 6
+    w7_tr = term_reveal(w.T, w7_sf, 7, 8, 12).T
+    w7_i8, w7_sf8 = pack_weight_int(w7_tr, w7_sf, 7)
+    w9_hi = jnp.round(w_tr / w_sf / 16.0)
+    w9_lo = jnp.round(w_tr / w_sf) - w9_hi * 16.0
+    w9_hi8 = w9_hi.astype(jnp.int8)
+    w9_lo8 = w9_lo.astype(jnp.int8)
+
+    def two_pass(x, sf):
+        # 9-bit data (split hi/lo at quantize time inside the kernel is
+        # future work; here the A/B uses the existing kernel twice with
+        # bits=5 / bits=4 halves approximated by two int8 calls at the
+        # SAME data -> the cost model is what's measured, not accuracy).
+        y_hi = term_matmul(x, w7_i8, sf * 16.0, 5, TERMS, int8=True,
+                           interpret=not on_tpu, w_sf=w7_sf8)
+        y_lo = term_matmul(x, w7_i8, sf, 4, TERMS, int8=True,
+                           interpret=not on_tpu, w_sf=w7_sf8)
+        return y_hi * 16.0 + y_lo
+
+    def four_pass(x, sf):
+        y = None
+        for wi, wscale in ((w9_hi8, 16.0), (w9_lo8, 1.0)):
+            for bits, dscale in ((5, 16.0), (4, 1.0)):
+                t = term_matmul(x, wi, sf * dscale, bits, TERMS, int8=True,
+                                interpret=not on_tpu, w_sf=w_sf)
+                y = t * (wscale * dscale) if y is None else y + t * (
+                    wscale * dscale)
+        return y
+
+    add("2-pass int8 (9b data x int8 w)", two_pass)
+    add("4-pass int8 (9b x 9b split)", four_pass)
     add(
         "unfused (tr_quantize -> dot)",
         lambda x, sf: jnp.dot(
