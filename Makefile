@@ -5,8 +5,10 @@ PY ?= python
 test:
 	$(PY) -m pytest tests/ -q
 
+# Fast tier: everything not marked slow (~2 min serial on CPU); the full
+# `make test` tier (~10 min) is the merge gate.
 test-fast:
-	$(PY) -m pytest tests/ -q -x -k "not e2e and not torch_parity"
+	$(PY) -m pytest tests/ -q -x -m "not slow"
 
 native:
 	$(MAKE) -C native

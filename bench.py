@@ -56,12 +56,6 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 
-# Persistent compilation cache: first-ever run pays the (slow, remote)
-# compiles; repeat runs of the same configs start in seconds.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tq_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
 
 def _slope_time(step_fn, x, iters=100):
     """Per-iteration seconds of ``step_fn(x, sf)`` chained on device.

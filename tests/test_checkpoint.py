@@ -1,5 +1,6 @@
 """Checkpoint round trips: npz (default) and orbax (sharded backend)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +45,7 @@ def test_npz_calibration_state_roundtrip(tmp_path):
     assert back["fc2"]["hist"].shape == (8192,)
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     p = tmp_path / "orbax_ck"
     tree = _tree()

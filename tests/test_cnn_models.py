@@ -19,6 +19,8 @@ from tq_tpu.models import alexnet, efficientnet, mobilenet, resnet, vgg
 from tq_tpu.profilers import cnn_cost, param_count
 
 
+pytestmark = pytest.mark.slow  # heavyweight tier (make test-fast deselects)
+
 def _countable(specs):
     return sum(
         s.out_elems * (s.in_ch // s.groups) * s.kh * s.kw

@@ -1,5 +1,6 @@
 """LSTM language model + sweep tests (small synthetic vocab)."""
 
+import pytest
 import math
 
 import jax
@@ -103,6 +104,7 @@ def test_batchify_matches_reference_layout():
     np.testing.assert_array_equal(out, [[0, 3, 6, 9], [1, 4, 7, 10], [2, 5, 8, 11]])
 
 
+@pytest.mark.slow
 def test_sweep_end_to_end(tmp_path):
     """Tiny synthetic sweep produces the reference schema and sane ppl."""
     vocab = 50

@@ -13,6 +13,8 @@ from tq_tpu.evals.train_mlp import train
 from tq_tpu.utils.checkpoint import load_params, save_params
 
 
+pytestmark = pytest.mark.slow  # heavyweight tier (make test-fast deselects)
+
 @pytest.fixture(scope="module")
 def trained():
     (xtr, ytr), (xte, yte) = synthetic_mnist(num_train=4000, num_test=1000)

@@ -27,6 +27,7 @@ def test_mesh_bad_factorization():
         make_mesh(n_model=3)  # 8 devices not divisible by 3
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_matches_single(rng):
     """One DPxTP train step must equal the single-device step numerically."""
     mesh = make_mesh(n_data=4, n_model=2)
@@ -87,6 +88,7 @@ def test_quantized_forward_under_mesh(rng):
     assert bool(jnp.all(jnp.isfinite(logp)))
 
 
+@pytest.mark.slow
 def test_cnn_tensor_parallel_params(rng):
     """Quantized ResNet-18 with conv kernels sharded over 'model' (TP)
     + batch over 'data' matches the unsharded forward."""

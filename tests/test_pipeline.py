@@ -61,6 +61,7 @@ def test_pipeline_composes_with_data_axis(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_gradients_match_sequential(rng):
     mesh = make_pipeline_mesh(4)
     width = 8
@@ -102,6 +103,7 @@ def test_tr_block_under_pipeline(rng):
     assert np.isfinite(np.asarray(got)).all()
 
 
+@pytest.mark.slow
 def test_mlp_pipeline_end_to_end(rng):
     mesh = make_pipeline_mesh(8)
     params, forward = build_mlp_pipeline(jax.random.PRNGKey(0), n_stage=8,

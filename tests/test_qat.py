@@ -5,6 +5,7 @@ estimator is a framework extension: gradients pass through the
 fake-quantizer unchanged, so a model can train *through* term revealing.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,6 +58,7 @@ def test_qat_training_reduces_loss(rng):
     np.testing.assert_allclose(ratio, np.round(ratio), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_qat_mlp_apply_and_grad(rng):
     """qat_mlp demo plumbing: ST forward produces finite log-probs and
     nonzero straight-through gradients to every layer."""

@@ -39,9 +39,13 @@ import jax.numpy as jnp
 
 from reference_harness import FixedLoader, load_reference, torch_mlp_from_npz
 
-pytestmark = pytest.mark.skipif(
-    not Path("/root/reference").is_dir(), reason="reference checkout absent"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not Path("/root/reference").is_dir(),
+        reason="reference checkout absent",
+    ),
+    pytest.mark.slow,  # heavyweight tier (make test-fast deselects)
+]
 
 CKPT = str(Path(__file__).resolve().parents[1] / "pretrained/mnist_mlp.npz")
 

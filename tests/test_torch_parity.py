@@ -19,6 +19,8 @@ from tq_tpu.layers.conv import conv2d
 from tq_tpu.models.cnn_common import batch_norm
 
 
+pytestmark = pytest.mark.slow  # heavyweight tier (make test-fast deselects)
+
 def _nhwc(x_nchw):
     return jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
 

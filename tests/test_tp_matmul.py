@@ -43,6 +43,7 @@ def test_row_parallel_matches(mesh, operands):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_overlap_collective_matmul_matches(mesh, operands):
     """Ring all-gather-overlap matmul == single-device result.
 
@@ -70,6 +71,7 @@ def test_column_parallel_under_jit(mesh, operands):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_int8_packed_all_layouts(mesh):
     """int8-packed weights through every TP layout == unsharded int8."""
     import numpy as np

@@ -79,6 +79,7 @@ def twin():
     return m, params, vocab
 
 
+@pytest.mark.slow
 def test_forward_matches_torch(twin, rng):
     m, params, vocab = twin
     tokens = rng.integers(0, vocab, size=(7, 3))
@@ -88,6 +89,7 @@ def test_forward_matches_torch(twin, rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_convert_and_quantized_forward(twin, rng):
     _, params, vocab = twin
     qp, qcfg, qs = transformer_lm.convert(params, 8, 8, 16, 8, 8)
@@ -104,6 +106,7 @@ def test_convert_and_quantized_forward(twin, rng):
     assert bool(jnp.all(jnp.isfinite(logp)))
 
 
+@pytest.mark.slow
 def test_high_bit_conversion_near_lossless(twin, rng):
     _, params, vocab = twin
     qp, qcfg, qs = transformer_lm.convert(params, 16, 1, 16, 16, 16,

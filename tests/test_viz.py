@@ -6,6 +6,8 @@ import jax
 import pytest
 
 
+pytestmark = pytest.mark.slow  # heavyweight tier (make test-fast deselects)
+
 @pytest.fixture
 def cnn_results(tmp_path):
     res = {

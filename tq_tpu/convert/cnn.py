@@ -35,7 +35,9 @@ def convert_cnn(
     """Convert a CNN param tree.
 
     Args:
-      model_mod: model module exposing ``conv_specs()``/``apply``.
+      model_mod: model module exposing ``apply`` (and optionally a
+        hand-written ``conv_specs()``; otherwise specs are derived by
+        tracing — :func:`tq_tpu.profilers.trace_specs.specs_for`).
       params: fp32 param pytree (flat names -> leaves).
       settings: per-conv (weight_bits, group_size, weight_terms), same
         order as ``conv_specs()`` (use
@@ -45,7 +47,9 @@ def convert_cnn(
     Returns (qparams, qcfg, qstate); the stem (spec index 0) is left
     untouched and absent from qcfg.
     """
-    specs = model_mod.conv_specs(image) if image else model_mod.conv_specs()
+    from tq_tpu.profilers.trace_specs import specs_for
+
+    specs = specs_for(model_mod, image)
     if len(settings) != len(specs):
         raise ValueError(
             f"{len(settings)} settings for {len(specs)} conv layers"
