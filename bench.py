@@ -297,9 +297,11 @@ def bench_lstm() -> dict:
     """``bench.py lstm``: quantized wikitext LSTM-LM eval throughput
     (tokens/s) vs the fp32 forward, at the published TR sweep's top
     setting (wb=8, g=8, wt=24, db=dt=8) with real input quantization
-    (`quantize_decoder_input=True`, the fixed TRLinearLayer behaviour)
-    so the decoder runs the fused quantize+matmul Pallas kernel — the
-    bf16 integer-operand path is exact for 8-bit grids.
+    (`quantize_decoder_input=True`, the fixed TRLinearLayer behaviour).
+    The int16-packed decoder takes tr_dense_apply's wide-N path:
+    integer-exact bf16 operands into XLA's matmul (the 650 -> 33278
+    projection is output-traffic-bound; scripts/bench_lstm_decoder.py
+    has the A/B table vs the fused kernel).
 
     The chain carries the recurrent ``hidden`` state, so data dependence
     is intrinsic (no scale-perturbation trick needed)."""
@@ -311,6 +313,7 @@ def bench_lstm() -> dict:
     params = lstm_lm.init(jrandom.PRNGKey(0))
     qparams, qcfg, qstate = lstm_lm.convert(
         params, 8, 8, 24, 8, 8, quantize_decoder_input=True)
+    qparams = lstm_lm.pack(qparams, qcfg)  # int16 decoder -> bf16 MXU path
     qstate = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qstate.items()}
     fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
     fp32 = jax.jit(lstm_lm.apply)

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--gs", type=int, default=8)
     ap.add_argument("--wt", type=int, default=12)
     ap.add_argument("--dt", type=int, default=3)
+    ap.add_argument("--image", type=int, default=224,
+                    help="input resolution (small values for smoke runs)")
+    ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
     from tq_tpu.evals.cnn import _batches, load_params
@@ -47,7 +50,7 @@ def main():
 
     # 1. Policy: stem/depthwise/SE exempt, everything else at the sweep
     #    setting (here the reference's headline TR point).
-    specs = resnet.conv_specs()
+    specs = resnet.conv_specs(args.image)
     settings = static_conv_layer_settings(specs, args.wb, args.gs, args.wt)
 
     # 2. Efficiency profile — pure arithmetic, no forward needed.
@@ -56,13 +59,19 @@ def main():
     print(f"params: {param_count(params):,}")
 
     # 3. Convert (weights term-revealed once, grouped along input chans).
-    qparams, qcfg, qstate = convert_cnn(m, params, settings, 9, args.dt)
+    qparams, qcfg, qstate = convert_cnn(m, params, settings, 9, args.dt,
+                                        image=args.image)
 
     # 4. Phase 1: calibration (activation histograms).
     track = make_cnn_apply(m, qcfg, track=True)
-    for x, y in _batches("resnet18", args.val_dir, 32, n_synth=64):
-        _, qstate = track(qparams, qstate, jnp.asarray(x))
-        break  # ~5% of val in real runs
+    if args.val_dir:
+        for x, y in _batches("resnet18", args.val_dir, 32, n_synth=64):
+            _, qstate = track(qparams, qstate, jnp.asarray(x))
+            break  # ~5% of val in real runs
+    else:
+        x = np.random.default_rng(1).normal(
+            size=(args.batch, args.image, args.image, 3))
+        _, qstate = track(qparams, qstate, jnp.asarray(x, jnp.float32))
     qstate = finalize_cnn(qstate, qcfg)  # MSE scale search per layer
 
     # 5. Phase 2: quantized inference.  The parity path keeps f32
@@ -72,8 +81,10 @@ def main():
     #    (PERF.md), same top-1.
     infer = make_cnn_apply(m, qcfg, track=False)
     serve = make_cnn_apply(m, qcfg, track=False, compute_dtype=jnp.bfloat16)
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 224, 224, 3)),
-                    jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(args.batch, args.image, args.image, 3)),
+        jnp.float32)
     logits, _ = infer(qparams, qstate, x)
     slogits, _ = serve(qparams, qstate, x)
     print("logits:", logits.shape, "top-1:", jnp.argmax(logits, -1).tolist())

@@ -1,0 +1,38 @@
+"""Smoke-run the examples so they can't rot (VERDICT r2 next #9).
+
+Each example is executed as a real subprocess (its own backend config,
+exactly as a user would run it) on the virtual 8-device CPU mesh.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier (make test-fast deselects)
+
+ROOT = Path(__file__).resolve().parents[1]
+
+EXAMPLES = [
+    ("quantize_resnet18.py", ["--wt", "12", "--image", "64", "--batch", "4"],
+     "serving-mode top-1 agrees"),
+    ("sharded_inference.py", [], "served 100 requests"),
+    ("pipeline_inference.py", [], "pipelined 8 microbatches"),
+]
+
+
+@pytest.mark.parametrize("script,args,expect", EXAMPLES,
+                         ids=[e[0] for e in EXAMPLES])
+def test_example_runs(script, args, expect):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "examples" / script), *args],
+        capture_output=True, text=True, timeout=900, env=env, cwd=str(ROOT),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert expect in proc.stdout, proc.stdout[-2000:]

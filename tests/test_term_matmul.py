@@ -221,3 +221,64 @@ def test_pack_dense_weights_serving(rng):
         # tracking phase works with packed weights (dequant fallback)
         y, qs2 = tr_dense_apply(packed, tr, qs, x, track=True)
         assert y.shape == ref.shape
+
+
+def test_dense_apply_wide_n_bf16_path_exact(rng):
+    """The wide-N (N >= 4K) integer-bf16 XLA path in tr_dense_apply is
+    bit-exact vs the f32 reference composition for <= 8-bit grids
+    (round-3 LSTM decoder fix; scripts/bench_lstm_decoder.py)."""
+    from tq_tpu.layers.common import TRParams
+    from tq_tpu.layers.linear import (
+        init_quant_state,
+        pack_dense_weights,
+        tr_dense_apply,
+        tr_dense_convert,
+    )
+
+    K, N, M = 32, 160, 8  # N >= 4K triggers the path
+    tr = TRParams(8, 8, 24, 8, 8, quantize_input=True)
+    params = {"w": jnp.asarray(rng.normal(size=(K, N)) * 0.05, jnp.float32),
+              "b": jnp.zeros((N,), jnp.float32)}
+    qp = pack_dense_weights(tr_dense_convert(params, tr), tr)
+    assert qp["w"].dtype == jnp.int16
+    qs = {**init_quant_state(), "sf": jnp.float32(0.04)}
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    got, _ = tr_dense_apply(qp, tr, qs, x, track=False)
+    xq = term_reveal(x, jnp.float32(0.04), 8, 1, 8, axis=-1)
+    w_fp = qp["w"].astype(jnp.float32) * qp["w_sf"]
+    want = jnp.dot(xq, w_fp) + params["b"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_int16_packed_bf16_fused_exact(rng):
+    """int16-packed 8-bit-grid weights through the FUSED kernel's bf16
+    mode: integer operands <= 256 are bf16-exact, so the result matches
+    the f32 composition exactly (up to f32 partial-sum rounding)."""
+    from tq_tpu.kernels.term_matmul import pack_weight_int
+
+    K, N, M = 128, 64, 32
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.05, jnp.float32)
+    sf = jnp.float32(0.04)
+    w_q = term_reveal(w.T, jnp.float32(0.002), 8, 8, 24).T
+    w16, w_sf = pack_weight_int(w_q, jnp.float32(0.002), 8)
+    assert w16.dtype == jnp.int16
+    out = term_matmul(x, w16, sf, 8, 8, bf16=True, w_sf=w_sf,
+                      bm=32, bk=128, bn=64)
+    ref = jnp.dot(term_reveal(x, sf, 8, 1, 8, axis=-1), w_q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_bm_equal_split_no_padding_waste(rng):
+    """M values that don't divide the default bm still compute exactly
+    (the equal-split bm heuristic; M=2240 is the LSTM decoder's T*B)."""
+    M, K, N = 2240 // 10, 64, 32  # same non-divisibility class, small
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.1, jnp.float32)
+    sf = jnp.float32(0.03)
+    ref = jnp.dot(term_reveal(x, sf, 8, 1, 3, axis=-1), w)
+    out = term_matmul(x, w, sf, 8, 3, bm=64, bk=64, bn=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)

@@ -260,7 +260,15 @@ def term_matmul(
 
     qdtype = (jnp.int8 if mxu == "int8"
               else jnp.bfloat16 if mxu == "bf16" else jnp.float32)
-    bm = min(bm, _pad_to(M, 8))
+    if bm >= M:
+        bm = _pad_to(M, 8)
+    else:
+        # Equal-split M so the last tile isn't mostly padding (e.g.
+        # M=2240 with bm=1024 would pad to 3072 — 37% wasted MXU work,
+        # measured 1.26x slower on the LSTM decoder shape; three 752-row
+        # tiles waste 0.7%).
+        n_i = -(-M // bm)
+        bm = _pad_to(-(-M // n_i), 8)
     bk = min(bk, _pad_to(K, 128))
     bn = min(bn, _pad_to(N, 128))
     # Keep double-buffered tiles + the f32 accumulator (+ the pipeline's

@@ -137,10 +137,7 @@ def _topk_value(q, bits: int, budget: int):
     #   t   = (cur & ~dn1) | (~cur & dn1 & dn2)
     #   neg =  up & (cur & ~dn1);     pos = t ^ neg
     # (3 fewer ops than building pos/neg separately via _digit_masks).
-    dn1 = q << 1
-    a = q & ~dn1
-    t = a | (dn1 & (q << 2) & ~q)
-    neg = (q >> 1) & a
+    t, neg = _term_masks(q)
     n_extract = budget
     n_clear = max_hese_terms(bits) - budget
     if n_extract * 4 <= n_clear * 4 + 9:
@@ -162,17 +159,58 @@ def _topk_value(q, bits: int, budget: int):
     return kept - ((kept & neg) << 1)
 
 
-def _elementwise_body(sf_ref, x_ref, o_ref, *, bits: int, budget: int):
-    """group_size == 1: keep the ``budget`` largest HESE terms per element."""
+def _term_masks(q):
+    """(t, neg): term-position mask and negative-term mask of ``q``."""
+    dn1 = q << 1
+    a = q & ~dn1
+    t = a | (dn1 & (q << 2) & ~q)
+    neg = (q >> 1) & a
+    return t, neg
+
+
+def _bottomk_value(q, bits: int, budget: int):
+    """Integer value of ``q``'s ``budget`` LOWEST-magnitude HESE terms.
+
+    The FPGA truncator's first-alpha-terms semantics
+    (``concatenator_truncator.v:33-52``): the serial HESE encoder emits
+    low-order terms first on the wire, so the hardware keeps the FIRST
+    ``budget`` terms seen — the lowest planes — where the CUDA kernel
+    keeps the largest.  Loop-free: peel the lowest set bit of the term
+    mask ``budget`` times (``r & -r`` isolates it — 2 VPU ops per term,
+    cheaper than the top-bit f32 trick); the kept mask is ``t ^ r``.
+    """
+    if budget >= max_hese_terms(bits):
+        return q
+    t, neg = _term_masks(q)
+    r = t
+    for _ in range(budget):
+        r = r ^ (r & -r)
+    kept = t ^ r
+    return kept - ((kept & neg) << 1)
+
+
+def _elementwise_body(sf_ref, x_ref, o_ref, *, bits: int, budget: int,
+                      keep_mode: str = "largest"):
+    """group_size == 1: keep ``budget`` HESE terms per element —
+    'largest' = the CUDA kernel's magnitude order, 'serial' = the FPGA
+    truncator's first-seen (lowest-plane) order."""
     sf = sf_ref[0]
     x = x_ref[:]
     q, sign = _quantize(x, sf, bits)
-    acc = _topk_value(q, bits, budget)
+    select = _topk_value if keep_mode == "largest" else _bottomk_value
+    acc = select(q, bits, budget)
     o_ref[:] = sign * acc.astype(x.dtype) * sf
 
 
-def _grouped_body(sf_ref, x_ref, o_ref, *, bits: int, budget: int):
-    """group_size > 1: block is (g_pad, TILE); groups on the sublane axis."""
+def _grouped_body(sf_ref, x_ref, o_ref, *, bits: int, budget: int,
+                  keep_mode: str = "largest"):
+    """group_size > 1: block is (g_pad, TILE); groups on the sublane axis.
+
+    ``keep_mode='serial'`` flips the plane loop direction (LSB plane
+    first — the order the serial HESE encoder puts terms on the wire,
+    ``concatenator_truncator.v:33-52``); the within-plane lane-order
+    tie-break is the same in both modes.
+    """
     sf = sf_ref[0]
     x = x_ref[:]
     g_pad = x.shape[0]
@@ -185,7 +223,9 @@ def _grouped_body(sf_ref, x_ref, o_ref, *, bits: int, budget: int):
     ltri = (col < row).astype(jnp.float32)
     rem = jnp.full((1, x.shape[1]), budget, _INT)
     acc = jnp.zeros(x.shape, _INT)
-    for p in range(bits, -1, -1):
+    plane_order = (range(bits, -1, -1) if keep_mode == "largest"
+                   else range(0, bits + 1))
+    for p in plane_order:
         pm = (pos >> p) & 1
         nm = (neg >> p) & 1
         a = pm | nm
@@ -239,7 +279,8 @@ def tr_scale_copy(x, sf, interpret: bool | None = None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "num_keep_terms", "axis", "interpret"),
+    static_argnames=("bits", "group_size", "num_keep_terms", "axis",
+                     "keep_mode", "interpret"),
 )
 def tr_quantize(
     x,
@@ -248,6 +289,7 @@ def tr_quantize(
     group_size: int = 1,
     num_keep_terms: int = 8,
     axis: int = 1,
+    keep_mode: str = "largest",
     interpret: bool | None = None,
 ):
     """Pallas-accelerated term-reveal fake quantization.
@@ -255,8 +297,13 @@ def tr_quantize(
     Drop-in equivalent of :func:`tq_tpu.ops.term_reveal.term_reveal`.
     ``sf`` is passed through SMEM, so calling with different scale factors
     does not recompile.  ``interpret=None`` auto-selects interpreter mode
-    off-TPU (tests run the same kernel code on CPU).
+    off-TPU (tests run the same kernel code on CPU).  ``keep_mode``:
+    'largest' = the CUDA kernel's top-magnitude selection; 'serial' = the
+    FPGA truncator's first-alpha-terms order (VERDICT r2 missing #4) —
+    hardware-order experiments run at kernel speed in both modes.
     """
+    if keep_mode not in ("largest", "serial"):
+        raise ValueError(f"unknown keep_mode {keep_mode!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     sf_arr = jnp.asarray(sf, jnp.float32).reshape(1)
@@ -271,7 +318,8 @@ def tr_quantize(
         xp = jnp.pad(flat, (0, padded_rows * cols - n)).reshape(padded_rows, cols)
         out = pl.pallas_call(
             functools.partial(
-                _elementwise_body, bits=bits, budget=num_keep_terms
+                _elementwise_body, bits=bits, budget=num_keep_terms,
+                keep_mode=keep_mode,
             ),
             grid=(padded_rows // tile_r,),
             in_specs=[
@@ -303,7 +351,8 @@ def tr_quantize(
     gt = jnp.pad(grouped, ((0, ng_pad - ng), (0, g_pad - group_size))).T
 
     out = pl.pallas_call(
-        functools.partial(_grouped_body, bits=bits, budget=num_keep_terms),
+        functools.partial(_grouped_body, bits=bits, budget=num_keep_terms,
+                          keep_mode=keep_mode),
         grid=(ng_pad // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

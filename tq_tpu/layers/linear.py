@@ -104,6 +104,28 @@ def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool,
         qs = {**qs, "hist": histogram_update(qs["hist"], x)}
         xq = x
     elif tr.quantize_input:
+        if (w_packed and x.ndim == 2 and tr.weight_bits <= 8
+                and tr.data_bits <= 8 and w.shape[1] >= 4 * w.shape[0]
+                and use_fused is None):
+            # Wide-N integer-exact bf16 path (e.g. the LSTM decoder,
+            # 650 -> 33278): the output tensor dominates HBM traffic,
+            # so the fused kernel's saved activation round-trip is
+            # negligible while XLA's matmul streams faster (measured
+            # 692us fp32 dot / 715us best fused vs ~410us here at the
+            # decoder shape, scripts/bench_lstm_decoder.py).  Exact:
+            # quantized magnitudes <= 2^8 and <= 8-bit weight grids are
+            # integers <= 256, bf16-exact; scales fold into the epilogue.
+            from tq_tpu.ops.term_reveal import term_reveal_elementwise_int
+
+            xi = term_reveal_elementwise_int(
+                x, qs["sf"], tr.data_bits, tr.data_terms
+            ).astype(jnp.bfloat16)
+            y = jnp.dot(xi, w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            y = y * (qs["sf"] * qp["w_sf"])
+            if qp.get("b") is not None:
+                y = y + qp["b"]
+            return y, qs
         if use_fused is None:
             use_fused = (w_packed or jax.default_backend() == "tpu") \
                 and x.ndim == 2
@@ -111,8 +133,13 @@ def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool,
             from tq_tpu.kernels.term_matmul import term_matmul
 
             int8 = bool(w.dtype == jnp.int8 and tr.data_bits <= 7)
+            # bf16 MXU is exact whenever both integer grids fit 8 bits
+            # (magnitudes <= 256 are bf16-exact) — that covers int16-
+            # packed 8-bit weight grids too, at ~1.6x the f32 MXU rate.
+            bf16 = (not int8 and w_packed
+                    and tr.weight_bits <= 8 and tr.data_bits <= 8)
             y = term_matmul(x, w, qs["sf"], tr.data_bits, tr.data_terms,
-                            int8=int8, bf16=w.dtype == jnp.int8 and not int8,
+                            int8=int8, bf16=bf16,
                             w_sf=qp["w_sf"] if w_packed else None)
             if qp.get("b") is not None:
                 y = y + qp["b"]

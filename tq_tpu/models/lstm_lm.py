@@ -112,6 +112,24 @@ def convert(
     return qparams, qcfg, qstate
 
 
+def pack(qparams, qcfg):
+    """Serving transform: pack the decoder's term-revealed weights into
+    narrow integers (int8 for <= 7-bit grids, int16 up to 15).  The
+    decoder projection (650 -> 33278) dominates the quantized forward
+    (97 GFLOP vs 15 GFLOP recurrent), and packed integer weights unlock
+    the exact bf16/int8 MXU paths in ``tr_dense_apply``.  The recurrent
+    weights stay fp32: they are re-read every scan step and XLA keeps
+    them resident; per-step dequant would add VPU work to the scan.
+    """
+    from tq_tpu.layers.linear import pack_dense_weights
+
+    out = dict(qparams)
+    if qcfg["decoder"].weight_bits <= 15:
+        out["decoder"] = pack_dense_weights(qparams["decoder"],
+                                            qcfg["decoder"])
+    return out
+
+
 def make_quantized_apply(qcfg, track: bool):
     """f(qparams, qstate, tokens, hidden) -> (logp, hidden, new_qstate)."""
 
