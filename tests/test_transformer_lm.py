@@ -116,3 +116,40 @@ def test_high_bit_conversion_near_lossless(twin, rng):
     ev = transformer_lm.make_quantized_apply(qcfg, track=False)
     out, _ = ev(qp, qs, tokens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_generate_transformer_samples_tokens():
+    """Fixed-buffer lax.scan sampler (reference generate.py transformer
+    branch, generate.py:60-65)."""
+    from tq_tpu.evals.generate import generate_transformer
+
+    vocab = 40
+    params = transformer_lm.init(
+        jax.random.PRNGKey(1), vocab=vocab, emsize=16, nhid=24, nlayers=2)
+    toks = generate_transformer(params, vocab, words=10, seed=5)
+    assert len(toks) == 10
+    assert all(0 <= t < vocab for t in toks)
+    # Same seed -> same path (all sampling is on-device PRNG).
+    assert toks == generate_transformer(params, vocab, words=10, seed=5)
+    with pytest.raises(ValueError):
+        generate_transformer(params, vocab, words=2, temperature=1e-4)
+
+
+def test_generate_fixed_buffer_is_causal():
+    """The L-length fixed-buffer forward must give the same next-token
+    distribution as an exact (n+1)-length grow-the-prefix forward —
+    i.e. garbage beyond the write cursor is invisible under the causal
+    mask (the property that makes the one-compile scan sound)."""
+    vocab = 25
+    params = transformer_lm.init(
+        jax.random.PRNGKey(2), vocab=vocab, emsize=16, nhid=24, nlayers=2)
+    rng = np.random.default_rng(0)
+    prefix = rng.integers(0, vocab, size=5).astype(np.int32)
+    L = 9  # fixed buffer longer than the prefix, tail filled with junk
+    junk = rng.integers(0, vocab, size=L - 5).astype(np.int32)
+    buf = jnp.asarray(np.concatenate([prefix, junk]))[:, None]
+
+    exact = transformer_lm.apply(params, jnp.asarray(prefix)[:, None])
+    fixed = transformer_lm.apply(params, buf)
+    np.testing.assert_allclose(
+        np.asarray(fixed[4]), np.asarray(exact[4]), atol=1e-5)

@@ -1,8 +1,18 @@
-"""Text sampler for the LSTM LM (reference lstm_models/generate.py).
+"""Text sampler for the LSTM / Transformer LMs (reference
+lstm_models/generate.py).
 
 Samples ``--words`` tokens autoregressively from a trained (optionally
 TR-converted) model with temperature scaling; writes one word per token,
 '<eos>' as newline, 20 words per line like the reference.
+
+The Transformer branch is TPU-idiomatic where the reference grows the
+prefix tensor every step (``torch.cat([input, word_tensor])``,
+generate.py:65 — a new shape each iteration, which under jit would mean
+one recompile per token): here the whole generation runs as ONE jitted
+``lax.scan`` over a fixed-length token buffer with static shapes —
+single compile, on-device ``jax.random.categorical`` sampling, no
+host round-trips inside the loop.  The causal mask makes positions
+beyond the write cursor invisible, so the fixed buffer is exact.
 """
 
 from __future__ import annotations
@@ -38,10 +48,58 @@ def generate(params, vocab: int, words: int = 100, temperature: float = 1.0,
     return out
 
 
+def generate_transformer(params, vocab: int, words: int = 100,
+                         temperature: float = 1.0, seed: int = 1111,
+                         nhead: int = 2):
+    """Sample ``words`` tokens from the Transformer LM in one lax.scan.
+
+    Semantics match the reference's transformer branch
+    (generate.py:60-65): sample from ``exp(logp[last] / T)``
+    (= ``categorical(logits=logp / T)``) and append.  The reference
+    passes ``has_mask=False`` there; with a causal mask the *last*
+    position attends to exactly the same (full) prefix, so the sampled
+    distribution is identical — and the mask is what makes the
+    fixed-length buffer sound (garbage beyond the cursor is never
+    attended to).
+    """
+    if temperature < 1e-3:
+        raise ValueError("temperature has to be greater or equal 1e-3")
+    from tq_tpu.models import transformer_lm
+
+    # Checkpoint loads give host numpy arrays; the scan closes over the
+    # params, so they must be device arrays to be traced (the embedding
+    # lookup indexes them with a tracer).
+    params = jax.tree.map(jnp.asarray, params)
+    L = words + 1
+    rng = np.random.default_rng(seed)
+    buf0 = jnp.zeros((L, 1), jnp.int32).at[0, 0].set(
+        int(rng.integers(0, vocab)))
+
+    @jax.jit
+    def run(buf, key):
+        def step(buf, key_n):
+            key, n = key_n
+            logp = transformer_lm.apply(params, buf, nhead=nhead)
+            logits = jax.lax.dynamic_slice_in_dim(logp, n, 1, 0)[0]
+            tok = jax.random.categorical(key, logits / temperature)
+            buf = jax.lax.dynamic_update_slice(
+                buf, tok.reshape(1, 1).astype(jnp.int32), (n + 1, 0))
+            return buf, tok
+        keys = jax.random.split(key, words)
+        _, toks = jax.lax.scan(step, buf, (keys, jnp.arange(words)))
+        return toks
+
+    toks = run(buf0, jax.random.PRNGKey(seed))
+    return [int(t) for t in toks]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="pretrained/lstm.npz")
     ap.add_argument("--data", default=None)
+    ap.add_argument("--model", default="LSTM",
+                    choices=["LSTM", "Transformer"])
+    ap.add_argument("--nhead", type=int, default=2)
     ap.add_argument("--words", type=int, default=100)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=1111)
@@ -53,7 +111,11 @@ def main(argv=None):
     from tq_tpu.utils.checkpoint import load_params
 
     params = load_params(a.checkpoint)
-    toks = generate(params, vocab, a.words, a.temperature, a.seed)
+    if a.model == "Transformer":
+        toks = generate_transformer(params, vocab, a.words, a.temperature,
+                                    a.seed, nhead=a.nhead)
+    else:
+        toks = generate(params, vocab, a.words, a.temperature, a.seed)
     with open(a.outf, "w") as f:
         for i, t in enumerate(toks):
             word = (corpus.dictionary.idx2word[t]
