@@ -25,7 +25,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tq_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-from tq_tpu.kernels.term_matmul import pack_weight_int, term_matmul
+from tq_tpu.kernels.term_matmul import (
+    pack_weight_int,
+    pack_weight_u8s,
+    term_matmul,
+)
 from tq_tpu.layers.common import TRParams, quantize_weight
 
 
@@ -50,12 +54,18 @@ def slope_time(step, x, iters=50):
 
 def main():
     M, K, N = 35 * 64, 650, 33278
+    args = list(sys.argv[1:])
+    for a in list(args):  # e.g. M=64: the token-generation batch shape
+        if a.startswith("M="):
+            M = int(a[2:])
+            args.remove(a)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
     w = jnp.asarray(0.05 * rng.normal(size=(K, N)), jnp.float32)
     tr = TRParams(8, 8, 24, 8, 8)
     w_q, w_sf = quantize_weight(w, tr, axis=0)
     w16, w_sf16 = pack_weight_int(w_q, w_sf, 8)
+    wu8 = pack_weight_u8s(w_q, w_sf, 8)
     wb = w_q.astype(jnp.bfloat16)
     flops = 2 * M * K * N
 
@@ -72,8 +82,14 @@ def main():
             c, w16, sf, 8, 8, bf16=True, w_sf=w_sf16),
         "fused_bf16_i16_bm1120": lambda c, sf: term_matmul(
             c, w16, sf, 8, 8, bf16=True, w_sf=w_sf16, bm=1120),
+        # 9 bits/weight streaming (pack_weight_u8s): 1.78x less weight
+        # HBM than int16 — the lever on weight-bound (small-M) shapes.
+        "fused_bf16_u8s": lambda c, sf: term_matmul(
+            c, wu8, sf, 8, 8, bf16=True),
+        "fused_bf16_u8s_bm1120": lambda c, sf: term_matmul(
+            c, wu8, sf, 8, 8, bf16=True, bm=1120),
     }
-    only = sys.argv[1:] or list(cases)
+    only = args or list(cases)
     for name in only:
         t = slope_time(cases[name], x)
         print(f"{name:24s} {t * 1e6:9.1f} us  {flops / t / 1e12:7.2f} TF/s",

@@ -282,3 +282,131 @@ def test_bm_equal_split_no_padding_waste(rng):
     out = term_matmul(x, w, sf, 8, 3, bm=64, bk=64, bn=32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_packed_u8s_weights_match_int16_path(rng):
+    """PackedWeight8 (9 bits/weight) must reproduce the int16-packed
+    bf16 path bit-for-bit: same integer operands after decode, same
+    tiling, same accumulation order."""
+    from tq_tpu.kernels.term_matmul import (
+        PackedWeight8, pack_weight_int, pack_weight_u8s)
+
+    K, N, M = 128, 64, 32
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.05, jnp.float32)
+    sf = jnp.float32(0.04)
+    w_q = term_reveal(w.T, jnp.float32(0.002), 8, 8, 24).T
+    w16, w_sf16 = pack_weight_int(w_q, jnp.float32(0.002), 8)
+    wp = pack_weight_u8s(w_q, jnp.float32(0.002), 8)
+    assert isinstance(wp, PackedWeight8)
+    assert wp.lo.dtype == jnp.int8 and wp.signs.dtype == jnp.int8
+    assert wp.lo.shape == (K, N) and wp.signs.shape == (K // 8, N)
+    ref = term_matmul(x, w16, sf, 8, 8, bf16=True, w_sf=w_sf16,
+                      bm=32, bk=128, bn=64)
+    out = term_matmul(x, wp, sf, 8, 8, bf16=True, bm=32, bk=128, bn=64)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # f32 MXU mode works too.
+    out32 = term_matmul(x, wp, sf, 8, 8, bm=32, bk=128, bn=64)
+    refq = jnp.dot(term_reveal(x, sf, 8, 1, 8, axis=-1), w_q)
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(refq),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_packed_u8s_odd_k_and_full_range(rng):
+    """K not divisible by 8 (the LSTM decoder's K=650 class) pads
+    soundly, and magnitudes spanning the full 0..255 clamp range
+    round-trip through the biased encoding."""
+    from tq_tpu.kernels.term_matmul import pack_weight_u8s
+
+    K, N, M = 130, 32, 16
+    q = rng.integers(-255, 256, size=(K, N)).astype(np.float32)
+    w_sf = jnp.float32(0.01)
+    w_q = jnp.asarray(q) * w_sf
+    wp = pack_weight_u8s(w_q, w_sf, 8)
+    assert wp.lo.shape == (136, N)  # padded to a multiple of 8
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    sf = jnp.float32(0.03)
+    out = term_matmul(x, wp, sf, 8, 3, bf16=True, bm=16, bk=128, bn=32)
+    ref = jnp.dot(term_reveal(x, sf, 8, 1, 3, axis=-1), w_q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_packed_u8s_validation(rng):
+    from tq_tpu.kernels.term_matmul import pack_weight_u8s
+
+    w = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+    with pytest.raises(ValueError, match="bits <= 8"):
+        pack_weight_u8s(w, jnp.float32(0.01), 9)
+    with pytest.raises(ValueError, match="understates"):
+        pack_weight_u8s(w * 100, jnp.float32(0.01), 8)
+    # All-zero weights pack cleanly.
+    wz = pack_weight_u8s(jnp.zeros((16, 8)), jnp.float32(0.0), 8)
+    x = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    out = term_matmul(x, wz, jnp.float32(0.05), 8, 3, bf16=True,
+                      bm=8, bk=128, bn=8)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    wp = pack_weight_u8s(w * 0.01, jnp.float32(0.01), 8)
+    with pytest.raises(ValueError, match="carries its own"):
+        term_matmul(x, wp, jnp.float32(0.05), 8, 3, w_sf=jnp.float32(1.0))
+    with pytest.raises(ValueError, match="int8 mode"):
+        term_matmul(x, wp, jnp.float32(0.05), 7, 3, int8=True)
+
+
+def test_pack_dense_weights_u8s_serving(rng):
+    """fmt='u8s' dense serving: the 9-bit packed decoder path matches
+    the fp path through every phase (fused, tracking fallback, 3-D
+    fallback)."""
+    from tq_tpu.kernels.term_matmul import PackedWeight8
+    from tq_tpu.layers.common import TRParams
+    from tq_tpu.layers.linear import (init_quant_state, pack_dense_weights,
+                                      tr_dense_apply, tr_dense_convert)
+
+    tr = TRParams(8, 8, 12, 8, 3)
+    K, N = 72, 32  # K not a multiple of 8: exercises the pad path
+    qp = tr_dense_convert(
+        {"w": jnp.asarray(rng.normal(size=(K, N)) * 0.1, jnp.float32),
+         "b": jnp.asarray(rng.normal(size=(N,)), jnp.float32)}, tr)
+    qs = {**init_quant_state(), "sf": jnp.float32(0.05)}
+    x = jnp.asarray(rng.normal(size=(16, K)), jnp.float32)
+    ref, _ = tr_dense_apply(qp, tr, qs, x, track=False)
+    packed = pack_dense_weights(qp, tr, fmt="u8s")
+    assert isinstance(packed["w"], PackedWeight8)
+    out, _ = tr_dense_apply(packed, tr, qs, x, track=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # tracking phase (raw-x matmul through the decode fallback)
+    y, _ = tr_dense_apply(packed, tr, qs, x, track=True)
+    yr, _ = tr_dense_apply(qp, tr, qs, x, track=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                               rtol=1e-5, atol=1e-5)
+    # 3-D input takes the unfused decode fallback
+    x3 = x.reshape(4, 4, K)
+    out3, _ = tr_dense_apply(packed, tr, qs, x3, track=False)
+    np.testing.assert_allclose(np.asarray(out3).reshape(16, N),
+                               np.asarray(ref), rtol=2e-4, atol=2e-4)
+    with pytest.raises(ValueError, match="unknown pack fmt"):
+        pack_dense_weights(qp, tr, fmt="nope")
+
+
+def test_lstm_pack_u8s_generation_path(rng):
+    """lstm_lm.pack(fmt='u8s'): quantized forward with the 9-bit packed
+    decoder matches the int16-packed forward."""
+    import jax
+
+    from tq_tpu.models import lstm_lm
+
+    vocab, em, hid = 50, 16, 16
+    params = lstm_lm.init(jax.random.PRNGKey(0), vocab=vocab, emsize=em,
+                          nhid=hid, nlayers=2)
+    qparams, qcfg, qstate = lstm_lm.convert(params, 8, 8, 24, 8, 8)
+    qstate = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qstate.items()}
+    tokens = jnp.asarray(rng.integers(0, vocab, size=(5, 3)), jnp.int32)
+    hidden = lstm_lm.init_hidden(3, nhid=hid, nlayers=2)
+    fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
+    p16 = lstm_lm.pack(qparams, qcfg)
+    pu8 = lstm_lm.pack(qparams, qcfg, fmt="u8s")
+    ref, _, _ = fwd(p16, qstate, tokens, hidden)
+    out, _, _ = fwd(pu8, qstate, tokens, hidden)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

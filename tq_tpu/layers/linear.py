@@ -62,7 +62,7 @@ def tr_dense_convert(params, tr: TRParams):
     return out
 
 
-def pack_dense_weights(qp, tr: TRParams):
+def pack_dense_weights(qp, tr: TRParams, fmt: str = "int"):
     """Pack a converted dense layer's weights into narrow integers.
 
     Serving-time transform: the term-revealed fp32 weights become int8
@@ -71,13 +71,28 @@ def pack_dense_weights(qp, tr: TRParams):
     fused kernel's epilogue; when both the weight grid and
     ``tr.data_bits`` fit int8, the matmul runs on the int8 MXU (2x the
     bf16 rate, exact int32 accumulation).
-    """
-    from tq_tpu.kernels.term_matmul import pack_weight_int
 
-    w_int, w_sf = pack_weight_int(qp["w"], qp["w_sf"], tr.weight_bits)
+    ``fmt='u8s'`` (8-bit grids only) packs to 9 bits/weight
+    (:class:`~tq_tpu.kernels.term_matmul.PackedWeight8`) instead of
+    int16 — 1.78x less weight HBM, decoded in the fused kernel's VMEM.
+    Pick it for weight-HBM-bound serving (small batch: token-by-token
+    generation); measured 2.0x over int16 and 1.3x over the plain bf16
+    dot on the decoder projection at M=64 (PERF.md).  For the
+    output-bound wide-N eval shapes (M in the thousands) keep 'int':
+    it unlocks the XLA wide-N route below, which wins there.
+    """
+    from tq_tpu.kernels.term_matmul import pack_weight_int, pack_weight_u8s
+
     out = dict(qp)
-    out["w"] = w_int
-    out["w_sf"] = w_sf
+    if fmt == "u8s":
+        out["w"] = pack_weight_u8s(qp["w"], qp["w_sf"], tr.weight_bits)
+        out["w_sf"] = out["w"].w_sf
+    elif fmt == "int":
+        w_int, w_sf = pack_weight_int(qp["w"], qp["w_sf"], tr.weight_bits)
+        out["w"] = w_int
+        out["w_sf"] = w_sf
+    else:
+        raise ValueError(f"unknown pack fmt {fmt!r} (want 'int' or 'u8s')")
     return out
 
 
@@ -98,15 +113,26 @@ def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool,
     """
     import jax
 
+    from tq_tpu.kernels.term_matmul import PackedWeight8
+
     w = qp["w"]
-    w_packed = jnp.issubdtype(w.dtype, jnp.integer)
+    w_packed8 = isinstance(w, PackedWeight8)
+    w_packed = w_packed8 or jnp.issubdtype(w.dtype, jnp.integer)
     if track:
         qs = {**qs, "hist": histogram_update(qs["hist"], x)}
         xq = x
     elif tr.quantize_input:
-        if (w_packed and x.ndim == 2 and tr.weight_bits <= 8
+        if (w_packed and not w_packed8 and x.ndim == 2
+                and x.shape[0] >= 256
+                and tr.weight_bits <= 8
                 and tr.data_bits <= 8 and w.shape[1] >= 4 * w.shape[0]
                 and use_fused is None):
+            # (The M >= 256 guard: at small M — token-by-token
+            # generation — the matmul is weight-HBM-bound and XLA's
+            # int->bf16 conversion materializes a second copy of the
+            # weights; the fused kernel streams them once.  Measured at
+            # M=1: fused int16 ~102us vs this route ~300us+,
+            # scripts/bench_generate.py.)
             # Wide-N integer-exact bf16 path (e.g. the LSTM decoder,
             # 650 -> 33278): the output tensor dominates HBM traffic,
             # so the fused kernel's saved activation round-trip is
@@ -132,7 +158,8 @@ def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool,
         if use_fused:
             from tq_tpu.kernels.term_matmul import term_matmul
 
-            int8 = bool(w.dtype == jnp.int8 and tr.data_bits <= 7)
+            int8 = bool(not w_packed8 and w.dtype == jnp.int8
+                        and tr.data_bits <= 7)
             # bf16 MXU is exact whenever both integer grids fit 8 bits
             # (magnitudes <= 256 are bf16-exact) — that covers int16-
             # packed 8-bit weight grids too, at ~1.6x the f32 MXU rate.
@@ -140,14 +167,35 @@ def tr_dense_apply(qp, tr: TRParams, qs, x, track: bool,
                     and tr.weight_bits <= 8 and tr.data_bits <= 8)
             y = term_matmul(x, w, qs["sf"], tr.data_bits, tr.data_terms,
                             int8=int8, bf16=bf16,
-                            w_sf=qp["w_sf"] if w_packed else None)
+                            w_sf=(qp["w_sf"] if w_packed and not w_packed8
+                                  else None))
             if qp.get("b") is not None:
                 y = y + qp["b"]
             return y, qs
         xq = act_quantize(x, qs["sf"], tr.data_bits, tr.data_terms)
     else:
         xq = x
-    if w_packed:  # non-fused fallback: dequantize on the fly
+    if (not track and not tr.quantize_input and w_packed and x.ndim == 2
+            and use_fused is not False):
+        # Raw-input serving with packed weights (the reference's
+        # TRLinearLayer forward bug, quantize_input=False): stream the
+        # narrow weights and decode them in the kernel's VMEM instead
+        # of materializing a full fp copy in HBM (2x at the decoder
+        # shape, scripts/bench_generate.py).  f32 MXU: same math as
+        # the jnp fallback up to scale-association rounding.
+        from tq_tpu.kernels.term_matmul import term_matmul
+
+        y = term_matmul(x, w, jnp.float32(1.0), tr.data_bits,
+                        tr.data_terms, quantize_x=False,
+                        w_sf=qp["w_sf"] if not w_packed8 else None)
+        if qp.get("b") is not None:
+            y = y + qp["b"]
+        return y, qs
+    if w_packed8:  # non-fused fallback: decode the 9-bit pack
+        from tq_tpu.kernels.term_matmul import unpack_weight_u8s
+
+        w = unpack_weight_u8s(w, k=xq.shape[-1])
+    elif w_packed:  # non-fused fallback: dequantize on the fly
         w = w.astype(jnp.float32) * qp["w_sf"]
     y = jnp.dot(xq, w, preferred_element_type=jnp.float32)
     if qp.get("b") is not None:

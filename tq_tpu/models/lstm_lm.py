@@ -112,7 +112,7 @@ def convert(
     return qparams, qcfg, qstate
 
 
-def pack(qparams, qcfg):
+def pack(qparams, qcfg, fmt: str = "int"):
     """Serving transform: pack the decoder's term-revealed weights into
     narrow integers (int8 for <= 7-bit grids, int16 up to 15).  The
     decoder projection (650 -> 33278) dominates the quantized forward
@@ -120,13 +120,17 @@ def pack(qparams, qcfg):
     the exact bf16/int8 MXU paths in ``tr_dense_apply``.  The recurrent
     weights stay fp32: they are re-read every scan step and XLA keeps
     them resident; per-step dequant would add VPU work to the scan.
+
+    ``fmt='u8s'`` (8-bit weight grids): 9-bits/weight decoder for
+    weight-HBM-bound token-by-token generation — see
+    ``pack_dense_weights``.
     """
     from tq_tpu.layers.linear import pack_dense_weights
 
     out = dict(qparams)
-    if qcfg["decoder"].weight_bits <= 15:
+    if fmt == "u8s" or qcfg["decoder"].weight_bits <= 15:
         out["decoder"] = pack_dense_weights(qparams["decoder"],
-                                            qcfg["decoder"])
+                                            qcfg["decoder"], fmt=fmt)
     return out
 
 
