@@ -355,6 +355,61 @@ def bench_lstm() -> dict:
     }
 
 
+def bench_generate() -> dict:
+    """``bench.py generate``: token-by-token LSTM generation (batch 1,
+    the reference's lstm_models/generate.py loop) with the 9-bit packed
+    decoder (``pack_weight_u8s`` + in-kernel VMEM decode) vs the same
+    loop on the fp32 model.  Single-stream generation is
+    weight-HBM-bound, so this measures the packed-weight-streaming
+    serving path end to end.  The chain is natural (each step's token
+    is the argmax of the previous logits) and ends in a host fetch —
+    ``block_until_ready`` acknowledges at enqueue on this rig."""
+    from tq_tpu.models import lstm_lm
+
+    def build(packed: bool):
+        params = lstm_lm.init(jax.random.PRNGKey(0))
+        qparams, qcfg, qstate = lstm_lm.convert(params, 8, 8, 24, 8, 8)
+        if packed:
+            qparams = lstm_lm.pack(qparams, qcfg, fmt="u8s")
+        qstate = {k: {**v, "sf": jnp.float32(0.05)}
+                  for k, v in qstate.items()}
+        fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
+
+        @jax.jit
+        def step(tok, hidden):
+            logp, hidden, _ = fwd(qparams, qstate, tok, hidden)
+            nxt = jnp.argmax(logp[-1]).reshape(1, 1).astype(jnp.int32)
+            return nxt, hidden
+
+        return step
+
+    h0 = lstm_lm.init_hidden(1)
+    tok0 = jnp.zeros((1, 1), jnp.int32)
+
+    def per_token(step, iters=30):
+        def run(n):
+            tok, hidden = tok0, h0
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tok, hidden = step(tok, hidden)
+            int(tok[0, 0])  # host fetch
+            return time.perf_counter() - t0
+
+        run(2)
+        t1 = min(run(1) for _ in range(3))
+        tn = min(run(iters) for _ in range(3))
+        return max(tn - t1, 1e-9) / (iters - 1)
+
+    t_u8s = per_token(build(packed=True))
+    t_fp32 = per_token(build(packed=False))
+    return {
+        "metric": "lstm_generate_tokens_per_s",
+        "value": round(1.0 / t_u8s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(t_fp32 / t_u8s, 3),
+    }
+
+
 def _init_backend(retries: int = 4, base_delay: float = 5.0) -> str:
     """Touch the backend with retry-and-backoff.
 
@@ -445,6 +500,8 @@ SUITE = (
     ("resnet18_tr_inference_bf16io", ["resnet", "bf16"]),
     ("resnet18_uq_inference_int8_bf16io", ["resnet", "int8", "uq", "bf16"]),
     ("lstm_tr_tokens_per_s", ["lstm"]),
+    # beyond-reference serving: packed-weight-streaming generation
+    ("lstm_generate_tokens_per_s", ["generate"]),
 )
 
 
@@ -491,6 +548,9 @@ def main():
         backend = _init_backend()
         if sys.argv[1] == "lstm":
             _safe("lstm_tr_tokens_per_s", bench_lstm, backend)
+            return
+        if sys.argv[1] == "generate":
+            _safe("lstm_generate_tokens_per_s", bench_generate, backend)
             return
         if sys.argv[1] == "matmul":
             _safe("term_matmul",

@@ -153,3 +153,21 @@ def test_generate_fixed_buffer_is_causal():
     fixed = transformer_lm.apply(params, buf)
     np.testing.assert_allclose(
         np.asarray(fixed[4]), np.asarray(exact[4]), atol=1e-5)
+
+
+@pytest.mark.parametrize("fmt", ["int", "u8s"])
+def test_pack_transformer_serving(rng, fmt):
+    """Packed transformer serving (int16 / 9-bit u8s) matches the
+    unpacked quantized forward."""
+    vocab = 30
+    params = transformer_lm.init(
+        jax.random.PRNGKey(3), vocab=vocab, emsize=16, nhid=24, nlayers=2)
+    qp, qcfg, qs = transformer_lm.convert(params, 8, 8, 16, 8, 8)
+    qs = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qs.items()}
+    tokens = jnp.asarray(rng.integers(0, vocab, size=(5, 2)))
+    ev = transformer_lm.make_quantized_apply(qcfg, track=False)
+    ref, _ = ev(qp, qs, tokens)
+    packed = transformer_lm.pack(qp, qcfg, fmt=fmt)
+    out, _ = ev(packed, qs, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

@@ -31,7 +31,8 @@ from tq_tpu.layers.linear import (
     tr_dense_convert,
 )
 
-__all__ = ["init", "apply", "convert", "make_quantized_apply", "finalize"]
+__all__ = ["init", "apply", "convert", "make_quantized_apply", "finalize",
+           "pack"]
 
 
 def _layer_names(nlayers: int):
@@ -155,6 +156,22 @@ def convert(params, wb, gs, wt, db, dt, quantize_input: bool = False):
         qcfg[n] = tr
         qstate[n] = init_quant_state()
     return qparams, qcfg, qstate
+
+
+def pack(qparams, qcfg, fmt: str = "int"):
+    """Serving transform: pack every TR-converted linear's weights into
+    narrow integers (mirrors ``lstm_lm.pack``).  Autoregressive
+    generation re-reads every dense weight each token, so the packed
+    formats' smaller HBM footprint applies to the whole stack here —
+    the decoder (emsize -> vocab) dominating as in the LSTM.
+    ``fmt='u8s'``: the 9-bits/weight format for 8-bit grids."""
+    from tq_tpu.layers.linear import pack_dense_weights
+
+    out = dict(qparams)
+    for name, tr in qcfg.items():
+        if fmt == "u8s" or tr.weight_bits <= 15:
+            out[name] = pack_dense_weights(qparams[name], tr, fmt=fmt)
+    return out
 
 
 def make_quantized_apply(qcfg, track: bool, nhead: int = 2):
