@@ -96,3 +96,30 @@ def test_tp_int8_packed_all_layouts(mesh):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=fn.__name__)
+
+
+def test_column_parallel_packed_matches(mesh):
+    """Column-parallel 9-bit packed decoder: sharded packed streams
+    reproduce the single-device packed matmul (both quantized-x and the
+    raw-input quantize_x=False serving mode)."""
+    from tq_tpu.kernels.term_matmul import pack_weight_u8s
+    from tq_tpu.ops.term_reveal import term_reveal
+    from tq_tpu.parallel.tp import tp_term_matmul_col_packed
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(16, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 128)) * 0.05, jnp.float32)
+    w_q = term_reveal(w.T, jnp.float32(0.002), 8, 8, 24).T
+    wp = pack_weight_u8s(w_q, jnp.float32(0.002), 8)
+    sf = jnp.float32(0.04)
+
+    ref = term_matmul(x, wp, sf, 8, 3, bf16=True)
+    out = tp_term_matmul_col_packed(x, wp, sf, 8, 3, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    ref_raw = term_matmul(x, wp, jnp.float32(1.0), 8, 3, quantize_x=False)
+    out_raw = tp_term_matmul_col_packed(x, wp, jnp.float32(1.0), 8, 3,
+                                        mesh, bf16=False, quantize_x=False)
+    np.testing.assert_allclose(np.asarray(out_raw), np.asarray(ref_raw),
+                               rtol=1e-5, atol=1e-5)

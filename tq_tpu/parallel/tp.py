@@ -24,7 +24,7 @@ from tq_tpu.parallel._compat import shard_map
 from tq_tpu.kernels.term_matmul import term_matmul
 
 __all__ = ["tp_term_matmul_col", "tp_term_matmul_row",
-           "tp_term_matmul_overlap"]
+           "tp_term_matmul_overlap", "tp_term_matmul_col_packed"]
 
 
 def _local_mm(bits, num_keep_terms, w_is_int, int8, bf16):
@@ -68,6 +68,43 @@ def tp_term_matmul_col(x, w, sf, bits: int, num_keep_terms: int, mesh: Mesh,
         return mm(x, w_shard, sf, wsf)
 
     return f(x, w, sf, _wsf_scalar(w_sf))
+
+
+def tp_term_matmul_col_packed(x, wp, sf, bits: int, num_keep_terms: int,
+                              mesh: Mesh, bf16: bool = True,
+                              quantize_x: bool = True):
+    """Column-parallel matmul over a 9-bit packed weight matrix.
+
+    ``wp`` is a :class:`~tq_tpu.kernels.term_matmul.PackedWeight8`; its
+    magnitude and sign-plane arrays shard over N on the 'model' axis,
+    so each device streams only 1/n of the 1.125-bytes/weight stream
+    and decodes its shard in VMEM.  Zero collectives (outputs stay
+    N-sharded, like :func:`tp_term_matmul_col`).
+
+    This is the scaling story for weight-HBM-bound serving: token-by-
+    token generation reads the whole decoder every step (PERF.md
+    "Token-by-token generation"), so sharding the packed weights over
+    the mesh divides the dominant per-token traffic by the mesh size —
+    near-linear tokens/s scaling without sharding the tiny activation.
+    ``quantize_x=False`` serves raw-input layers (the reference's
+    ``TRLinearLayer`` forward bug) the same way.
+    """
+    from tq_tpu.kernels.term_matmul import PackedWeight8
+
+    specs = PackedWeight8(
+        lo=P(None, "model"), signs=P(None, "model"), w_sf=P())
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), specs, P()),
+        out_specs=P(None, "model"),
+        check_rep=False,
+    )
+    def f(x, wp_shard, sf):
+        return term_matmul(x, wp_shard, sf, bits, num_keep_terms,
+                           bf16=bf16, quantize_x=quantize_x)
+
+    return f(x, wp, sf)
 
 
 def tp_term_matmul_overlap(x, w, sf, bits: int, num_keep_terms: int,
