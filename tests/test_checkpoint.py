@@ -53,3 +53,24 @@ def test_orbax_roundtrip(tmp_path):
     back = load_params_orbax(p, like=tree)
     np.testing.assert_array_equal(np.asarray(back["enc"]["w"]),
                                   np.arange(12).reshape(3, 4))
+
+
+def test_packed_weight_roundtrip(tmp_path):
+    """PackedWeight8 nodes keep their type through the flat npz (the
+    '#nt' marker) so packed serving params checkpoint/restore."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tq_tpu.kernels.term_matmul import PackedWeight8, pack_weight_u8s
+    from tq_tpu.utils.checkpoint import load_params, save_params
+
+    w = jnp.asarray(np.arange(-8.0, 8.0).reshape(16, 1) * 0.01, jnp.float32)
+    wp = pack_weight_u8s(w, jnp.float32(0.01), 8)
+    tree = {"decoder": {"w": wp, "b": jnp.zeros((1,), jnp.float32)}}
+    save_params(tmp_path / "packed.npz", tree)
+    back = load_params(tmp_path / "packed.npz")
+    w2 = back["decoder"]["w"]
+    assert isinstance(w2, PackedWeight8)
+    np.testing.assert_array_equal(np.asarray(wp.lo), w2.lo)
+    np.testing.assert_array_equal(np.asarray(wp.signs), w2.signs)
+    np.testing.assert_array_equal(np.asarray(wp.w_sf), w2.w_sf)

@@ -129,3 +129,22 @@ def test_generate_samples_tokens():
     # Temperature must change the sample path (distribution flattens).
     toks_hot = generate(p, vocab=30, words=12, temperature=100.0, seed=3)
     assert toks != toks_hot or True  # non-deterministic across temps is fine
+
+
+def test_generate_tr_quantized_sampler():
+    """TR-quantized generation (generate_tr): calibrate on a synthetic
+    stream, pack the decoder (9-bit u8s), sample."""
+    from tq_tpu.data.wikitext import batchify
+    from tq_tpu.evals.generate import generate_tr
+
+    vocab = 30
+    p = _small_params(vocab=vocab)
+    rng = np.random.default_rng(0)
+    stream = batchify(rng.integers(0, vocab, 800).astype(np.int32), 4)
+    toks = generate_tr(p, vocab, words=8, seed=3, tr=(8, 8, 24, 8, 8),
+                       pack_fmt="u8s", calib_stream=stream, calib_chunks=2)
+    assert len(toks) == 8 and all(0 <= t < vocab for t in toks)
+    # unpacked serving gives the same sample path (formats are exact)
+    toks2 = generate_tr(p, vocab, words=8, seed=3, tr=(8, 8, 24, 8, 8),
+                        pack_fmt=None, calib_stream=stream, calib_chunks=2)
+    assert toks == toks2

@@ -17,10 +17,26 @@ import numpy as np
 __all__ = ["save_params", "load_params", "flatten_tree", "unflatten_tree"]
 
 
+def _namedtuple_class(name: str):
+    """Registry of NamedTuple node types that may appear in checkpoints
+    (no pickled code: the class is resolved by name at load time)."""
+    if name == "PackedWeight8":
+        from tq_tpu.kernels.term_matmul import PackedWeight8
+
+        return PackedWeight8
+    raise KeyError(f"unknown checkpointed namedtuple type {name!r}")
+
+
 def flatten_tree(tree, prefix=""):
-    """Pytree -> {'path/to/leaf': np.ndarray}.  Lists use numeric keys."""
+    """Pytree -> {'path/to/leaf': np.ndarray}.  Lists use numeric keys;
+    NamedTuple nodes (e.g. packed-weight containers) keep their type via
+    a '#nt' marker leaf so they round-trip as the same class."""
     out = {}
-    if isinstance(tree, dict):
+    if hasattr(tree, "_fields"):  # NamedTuple node
+        out[f"{prefix}#nt"] = np.asarray(type(tree).__name__)
+        for k in tree._fields:
+            out.update(flatten_tree(getattr(tree, k), f"{prefix}{k}/"))
+    elif isinstance(tree, dict):
         for k, v in tree.items():
             out.update(flatten_tree(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
@@ -50,6 +66,9 @@ def unflatten_tree(flat: dict):
         if not isinstance(node, dict):
             return node
         node = {k: listify(v) for k, v in node.items()}
+        if "#nt" in node:
+            cls = _namedtuple_class(str(node.pop("#nt")))
+            return cls(**node)
         if node and all(k.isdigit() for k in node):
             idxs = sorted(int(k) for k in node)
             if idxs == list(range(len(idxs))):
