@@ -17,6 +17,19 @@ inside each, backend init is retried with backoff and degrades to CPU
 ``{"metric": ..., "error": ...}`` instead of killing the suite.  The
 suite always exits 0 with one line per metric.
 
+Budgeting (VERDICT r3 next #1 — BENCH_r03 was killed by the driver's
+outer wall-clock at 3/7 metrics): the suite runs END-TO-END metrics
+FIRST (they are the headline evidence) and keeps a global wall-clock
+budget (env ``TQ_BENCH_BUDGET_S``, default 1200 s).  Before each metric
+it checks the remaining budget and emits
+``{"metric": ..., "skipped": "budget", ...}`` instead of being killed
+mid-metric; each subprocess gets ``min(remaining, TQ_BENCH_METRIC_S)``
+as its own timeout.  Every line carries ``secs`` (the metric's own
+wall-clock, which doubles as a compile-cache health check: a warm
+/tmp/tq_jax_cache run takes seconds-to-tens per metric, a cold one
+~100 s+ per distinct program on this rig's remote-compile tunnel; the
+cache-entry delta is logged per metric on stderr).
+
 The reference has no wall-clock numbers (its CUDA kernel is a fidelity
 simulator, SURVEY.md §6); each ``vs_baseline`` is against the honest
 unquantized / unfused XLA equivalent of the same computation.
@@ -114,7 +127,23 @@ def _slope_time_scalar(step_fn, x, iters=64):
     return max(tn - t1, 1e-9) / (iters - 1)
 
 
-def bench_quantize(chains: int = 5) -> dict:
+def _copy_ceiling(x, iters: int = 200) -> float:
+    """Same-run HBM roofline: GB/s of a Pallas scale-copy over ``x``
+    (identical grid/BlockSpec tiling class as the quantize kernel; an
+    XLA-fused elementwise copy measures ~40% lower and is NOT a valid
+    ceiling proxy — PERF.md).  Every HBM-bound metric line carries this
+    so cross-session HBM-state swings (e.g. int8 matmul 203 -> 81 TF
+    between rounds) are readable from the JSON alone (VERDICT r3 next
+    #3)."""
+    from tq_tpu.kernels.tr_quantize import tr_scale_copy
+
+    on_tpu = jax.default_backend() == "tpu"
+    t = _slope_time(lambda c, sf: tr_scale_copy(c, sf, interpret=not on_tpu),
+                    x, iters=iters)
+    return x.size * x.dtype.itemsize * 2 / t / 1e9
+
+
+def bench_quantize(chains: int = 3) -> dict:
     """Fused tr_quantize bandwidth; median + min/max over ``chains``
     independent slope measurements (run-to-run spread on a shared chip
     is the dominant noise source — VERDICT r1 weak #1)."""
@@ -138,25 +167,16 @@ def bench_quantize(chains: int = 5) -> dict:
         for _ in range(chains)
     ]
     t_plain = _slope_time(lambda c, sf: term_reveal(c, sf, bits, 1, terms), x)
-    # Same-session copy ceiling: a Pallas kernel with the IDENTICAL grid
-    # and BlockSpecs whose body only scales the tile (an XLA-fused
-    # `x * c` elementwise measures a misleading ~40% LOWER — XLA's
-    # elementwise tiling moves less per pass than this kernel's).
-    # Absolute GB/s swings with chip/tunnel state ACROSS sessions
-    # (176-324 observed); within a session the spread is ~2%, so "at
-    # the ceiling" is only meaningful against a ceiling measured in the
-    # same run — reported as `copy_ceiling` / `pct_ceiling`.
-    from tq_tpu.kernels.tr_quantize import tr_scale_copy
-
-    t_copy = _slope_time(
-        lambda c, sf: tr_scale_copy(c, sf, interpret=not on_tpu),
-        x, iters=200,
-    )
+    # Same-session copy ceiling (see _copy_ceiling).  Absolute GB/s
+    # swings with chip/tunnel state ACROSS sessions (176-324 observed);
+    # within a session the spread is ~2%, so "at the ceiling" is only
+    # meaningful against a ceiling measured in the same run — reported
+    # as `copy_ceiling` / `pct_ceiling`.
+    ceiling = _copy_ceiling(x)
 
     nbytes = x.size * 4 * 2  # one read + one write
     gbs = sorted(nbytes / t / 1e9 for t in ts)
     med = gbs[len(gbs) // 2]
-    ceiling = nbytes / t_copy / 1e9
     return {
         "metric": "tr_quantize_bandwidth",
         "value": round(med, 2),
@@ -207,11 +227,21 @@ def bench_matmul(int8: bool = False) -> dict:
 
         t_f = _slope_time_scalar(fused, x)
         t_u = _slope_time_scalar(unfused, x)
+        # The int8 path is HBM-roofline-bound (PERF.md session-state
+        # caveat: 203 -> 81 TF across rounds was HBM state, not the
+        # kernel) — carry the same-run ceiling so the JSON is readable
+        # alone.  stream_gbs: the kernel's actual per-link HBM traffic
+        # (x f32 read + int8 weight read + f32 output write) over t_f.
+        ceiling = _copy_ceiling(x)
+        stream = (M * K * 4 + K * N * 1 + M * N * 4) / t_f / 1e9
         return {
             "metric": "term_matmul_int8",
             "value": round(2 * M * K * N / t_f / 1e12, 3),
             "unit": "TFLOP/s",
             "vs_baseline": round(t_u / t_f, 3),
+            "stream_gbs": round(stream, 1),
+            "copy_ceiling": round(ceiling, 1),
+            "pct_ceiling": round(100 * stream / ceiling, 1),
         }
 
     bits, terms = 8, 3
@@ -375,13 +405,18 @@ def bench_generate() -> dict:
                   for k, v in qstate.items()}
         fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
 
+        # qparams/qstate as jit ARGUMENTS (not closure constants):
+        # constant-embedding the ~21 MB packed decoder would let XLA
+        # pre-fold pad/layout ops and measure a slightly different
+        # program than scripts/bench_generate.py (ADVICE r3 #4).
         @jax.jit
-        def step(tok, hidden):
+        def step(qparams, qstate, tok, hidden):
             logp, hidden, _ = fwd(qparams, qstate, tok, hidden)
             nxt = jnp.argmax(logp[-1]).reshape(1, 1).astype(jnp.int32)
             return nxt, hidden
 
-        return step
+        return (lambda tok, hidden: step(qparams, qstate, tok, hidden)), \
+            qparams
 
     h0 = lstm_lm.init_hidden(1)
     tok0 = jnp.zeros((1, 1), jnp.int32)
@@ -400,13 +435,30 @@ def bench_generate() -> dict:
         tn = min(run(iters) for _ in range(3))
         return max(tn - t1, 1e-9) / (iters - 1)
 
-    t_u8s = per_token(build(packed=True))
-    t_fp32 = per_token(build(packed=False))
+    step_u8s, qp_u8s = build(packed=True)
+    step_f, _ = build(packed=False)
+    t_u8s = per_token(step_u8s)
+    t_fp32 = per_token(step_f)
+    # Single-stream generation is weight-HBM-bound: the step re-reads
+    # every non-embedding parameter per token (the embedding table is a
+    # one-row gather).  stream_gbs = that byte count over the measured
+    # step time, against the same-run copy ceiling (VERDICT r3 next #3).
+    def _leaf_bytes(tree):
+        return sum(a.size * a.dtype.itemsize
+                   for a in jax.tree_util.tree_leaves(tree)
+                   if hasattr(a, "dtype"))
+
+    step_bytes = _leaf_bytes(qp_u8s) - _leaf_bytes(qp_u8s["encoder"])
+    ceiling = _copy_ceiling(jnp.zeros((4096, 4096), jnp.float32))
+    stream = step_bytes / t_u8s / 1e9
     return {
         "metric": "lstm_generate_tokens_per_s",
         "value": round(1.0 / t_u8s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(t_fp32 / t_u8s, 3),
+        "stream_gbs": round(stream, 1),
+        "copy_ceiling": round(ceiling, 1),
+        "pct_ceiling": round(100 * stream / ceiling, 1),
     }
 
 
@@ -492,30 +544,61 @@ def _safe(name: str, make, backend: str) -> bool:
 # (12.6k vs 26.4k imgs/s for the int8-UQ row) — compile-cache and
 # device-state pollution from the earlier benches — and a hard crash
 # (segfault/OOM) in one metric would otherwise kill the record.
+#
+# ORDER MATTERS: end-to-end serving headlines first (VERDICT r3 next
+# #1 — when the driver's outer wall-clock is shorter than the suite,
+# whatever runs last is lost, and for two rounds that was exactly the
+# end-to-end evidence).  Kernel micro-metrics close the list.
 SUITE = (
-    ("tr_quantize_bandwidth", ["quantize"]),
-    ("term_matmul_fused", ["matmul"]),
-    ("term_matmul_int8", ["matmul", "int8"]),
-    # 9-bit TR headline, serving IO:
-    ("resnet18_tr_inference_bf16io", ["resnet", "bf16"]),
+    # End-to-end serving headlines:
     ("resnet18_uq_inference_int8_bf16io", ["resnet", "int8", "uq", "bf16"]),
+    ("resnet18_tr_inference_bf16io", ["resnet", "bf16"]),
     ("lstm_tr_tokens_per_s", ["lstm"]),
     # beyond-reference serving: packed-weight-streaming generation
     ("lstm_generate_tokens_per_s", ["generate"]),
+    # Kernel micro-metrics:
+    ("tr_quantize_bandwidth", ["quantize"]),
+    ("term_matmul_fused", ["matmul"]),
+    ("term_matmul_int8", ["matmul", "int8"]),
 )
 
 
 def _run_suite() -> int:
-    """Spawn one subprocess per metric; always emit one line each."""
+    """Spawn one subprocess per metric under a global wall-clock budget;
+    always emit one line per SUITE entry (value, error, or skip)."""
     import os
     import subprocess
 
+    budget = float(os.environ.get("TQ_BENCH_BUDGET_S", "1200"))
+    metric_cap = float(os.environ.get("TQ_BENCH_METRIC_S", "600"))
+    cache_dir = "/tmp/tq_jax_cache"
+    t_start = time.perf_counter()
+
+    def _cache_entries():
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+
     printed = 0
     for name, argv in SUITE:
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < 60:
+            # Not enough room to produce a trustworthy number — emit a
+            # structured skip instead of being killed mid-metric.
+            print(json.dumps({
+                "metric": name, "skipped": "budget",
+                "remaining_s": round(remaining, 1),
+            }), flush=True)
+            printed += 1
+            continue
+        t_m = time.perf_counter()
+        entries0 = _cache_entries()
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *argv],
-                capture_output=True, text=True, timeout=900,
+                capture_output=True, text=True,
+                timeout=min(metric_cap, remaining),
             )
             line = None
             for ln in reversed(proc.stdout.splitlines()):
@@ -523,22 +606,38 @@ def _run_suite() -> int:
                 if ln.startswith("{"):
                     line = ln
                     break
+            secs = round(time.perf_counter() - t_m, 1)
             if line is not None:
+                try:
+                    rec = json.loads(line)
+                    rec["secs"] = secs
+                    line = json.dumps(rec)
+                except ValueError:
+                    pass
                 print(line, flush=True)
             else:
                 tail = (proc.stderr or proc.stdout or "").strip()[-300:]
                 print(json.dumps({
-                    "metric": name, "error":
+                    "metric": name, "secs": secs, "error":
                     f"rc={proc.returncode}, no JSON line: {tail}",
                 }), flush=True)
         except subprocess.TimeoutExpired:
-            print(json.dumps({"metric": name,
-                              "error": "timeout after 900s"}), flush=True)
+            print(json.dumps({
+                "metric": name,
+                "secs": round(time.perf_counter() - t_m, 1),
+                "error": "timeout (per-metric cap)",
+            }), flush=True)
         except Exception as e:  # noqa: BLE001 — keep the record alive
             print(json.dumps({
                 "metric": name,
                 "error": f"{type(e).__name__}: {e}"[:300],
             }), flush=True)
+        # Compile-cache health: entry delta per metric (stderr — stdout
+        # stays one-JSON-line-per-metric).  A warm run shows delta 0.
+        print(json.dumps({
+            "event": "compile_cache", "metric": name,
+            "entries_before": entries0, "entries_after": _cache_entries(),
+        }), file=sys.stderr, flush=True)
         printed += 1
     return printed
 

@@ -181,7 +181,9 @@ def _widen_w(w, mxu):
 def _load_w(w_ref, ws_ref, mxu):
     """Weight tile for the MXU; decodes the 9-bit packed pair if given.
 
-    Decoded magnitudes are <= 128, so the bf16 cast is exact.  The
+    Decoded magnitudes are <= 255 (the 8-bit grid clamps |q| at
+    2^bits - 1), still bf16-exact (integers <= 256 fit the mantissa), so
+    the bf16 cast is exact.  The
     decode is ~8 VPU ops per weight element once per (i, j, k) grid
     step — negligible next to the 2*bm MACs each element feeds, and on
     the weight-HBM-bound shapes the format targets (small M: one i

@@ -128,9 +128,14 @@ def pack(qparams, qcfg, fmt: str = "int"):
     from tq_tpu.layers.linear import pack_dense_weights
 
     out = dict(qparams)
-    if fmt == "u8s" or qcfg["decoder"].weight_bits <= 15:
+    dec_fmt = fmt
+    if fmt == "u8s" and qcfg["decoder"].weight_bits > 8:
+        # u8s only fits 8-bit grids; fall back to int for wider layers
+        # (ADVICE r3 #2) instead of raising.
+        dec_fmt = "int"
+    if dec_fmt == "u8s" or qcfg["decoder"].weight_bits <= 15:
         out["decoder"] = pack_dense_weights(qparams["decoder"],
-                                            qcfg["decoder"], fmt=fmt)
+                                            qcfg["decoder"], fmt=dec_fmt)
     return out
 
 

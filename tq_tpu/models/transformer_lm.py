@@ -169,7 +169,13 @@ def pack(qparams, qcfg, fmt: str = "int"):
 
     out = dict(qparams)
     for name, tr in qcfg.items():
-        if fmt == "u8s" or tr.weight_bits <= 15:
+        if fmt == "u8s" and tr.weight_bits > 8:
+            # u8s only fits 8-bit grids; fall back to the int format for
+            # wider layers in a mixed-precision config (ADVICE r3 #2)
+            # instead of raising on the whole model.
+            if tr.weight_bits <= 15:
+                out[name] = pack_dense_weights(qparams[name], tr, fmt="int")
+        elif fmt == "u8s" or tr.weight_bits <= 15:
             out[name] = pack_dense_weights(qparams[name], tr, fmt=fmt)
     return out
 
