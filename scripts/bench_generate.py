@@ -10,6 +10,11 @@ decoder stored as:
   fp32      term-revealed fp values (4 B/weight)
   i16       pack_weight_int int16 (2 B/weight)
   u8s       pack_weight_u8s 9-bit pack (1.125 B/weight)
+  u8sb      u8s + the unquantized (layer >= 1) recurrent weights cast
+            bf16 (same rounding class as this chip's f32 MXU operands)
+
+Since round 4 the packs cover the recurrent weights too
+(tr_lstm_pack — they were ~40% of the u8s step's HBM traffic).
 
 The chain is natural: each step's input token is sampled (argmax) from
 the previous step's logits and the hidden state threads through, so
@@ -41,8 +46,11 @@ def build(fmt):
     qparams, qcfg, qstate = lstm_lm.convert(params, 8, 8, 24, 8, 8)
     qstate = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qstate.items()}
     if fmt != "fp32":
-        qparams = lstm_lm.pack(qparams, qcfg,
-                               fmt="u8s" if fmt == "u8s" else "int")
+        qparams = lstm_lm.pack(
+            qparams, qcfg,
+            fmt="int" if fmt == "i16" else "u8s",
+            rnn=fmt != "u8sd",  # u8sd: round-3 behaviour, decoder only
+            rnn_unquantized_dtype=jnp.bfloat16 if fmt == "u8sb" else None)
     fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
 
     @jax.jit
@@ -75,7 +83,7 @@ def tokens_per_s(fmt, steps=30):
 
 
 def main():
-    only = sys.argv[1:] or ["fp32", "i16", "u8s"]
+    only = sys.argv[1:] or ["fp32", "i16", "u8s", "u8sb"]
     for fmt in only:
         tps, dt = tokens_per_s(fmt)
         print(f"{fmt:5s} {dt * 1e6:9.1f} us/token  {tps:8.1f} tokens/s",

@@ -160,3 +160,56 @@ def test_generate_tr_quantized_sampler():
     logp_p, _, _ = fwd(lstm_lm.pack(qp, qcfg, fmt="u8s"), qs, toksa, h0)
     np.testing.assert_allclose(np.asarray(logp_p), np.asarray(logp_u),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pack_recurrent_weights_streaming():
+    """tr_lstm_pack (VERDICT r3 next #2): the quantized recurrent layers
+    pack to the 9-bit u8s / int16 streaming formats and the forward
+    matches the unpacked quantized forward; bf16-casting the
+    unquantized layers stays in the MXU-operand rounding class."""
+    from tq_tpu.kernels.term_matmul import PackedWeight8
+
+    vocab = 40
+    p = _small_params(vocab=vocab)
+    qp, qcfg, qs = lstm_lm.convert(p, 8, 8, 24, 8, 8)
+    qs = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qs.items()}
+    fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
+    toks = jnp.asarray(np.random.default_rng(1).integers(0, vocab, (5, 3)),
+                       jnp.int32)
+    h0 = lstm_lm.init_hidden(3, nhid=16, nlayers=2)
+    ref, hid_ref, _ = fwd(qp, qs, toks, h0)
+
+    for fmt in ("u8s", "int"):
+        packed = lstm_lm.pack(qp, qcfg, fmt=fmt, rnn=True)
+        # layer 0 (quantized) is packed; layer 1 (reference-untouched)
+        # stays fp32 unless rnn_unquantized_dtype is given.
+        expected = PackedWeight8 if fmt == "u8s" else jnp.ndarray
+        assert isinstance(packed["rnn"][0]["w_ih"], expected)
+        assert isinstance(packed["rnn"][0]["w_hh"], expected)
+        if fmt == "int":
+            assert packed["rnn"][0]["w_ih"].dtype == jnp.int16  # 8-bit grid
+        assert packed["rnn"][1]["w_ih"].dtype == jnp.float32
+        out, hid, _ = fwd(packed, qs, toks, h0)
+        # w_sf moves to the kernel epilogue: equal up to f32 rounding,
+        # compounded over the 5-step recurrence.
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(hid[0]),
+                                   np.asarray(hid_ref[0]),
+                                   rtol=1e-4, atol=1e-4)
+
+    half = lstm_lm.pack(qp, qcfg, fmt="u8s",
+                        rnn_unquantized_dtype=jnp.bfloat16)
+    assert half["rnn"][1]["w_ih"].dtype == jnp.bfloat16
+    out, _, _ = fwd(half, qs, toks, h0)
+    # bf16 weights round to 8 mantissa bits — looser, but log-probs of a
+    # 40-way softmax must stay close.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_pack_rnn_false_keeps_fp32_recurrent():
+    p = _small_params(vocab=30)
+    qp, qcfg, _ = lstm_lm.convert(p, 8, 8, 24, 8, 8)
+    packed = lstm_lm.pack(qp, qcfg, fmt="u8s", rnn=False)
+    assert packed["rnn"][0]["w_ih"].dtype == jnp.float32

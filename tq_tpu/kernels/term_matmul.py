@@ -175,6 +175,11 @@ def _widen_w(w, mxu):
         # into the epilogue.  int8 -> bf16 is exact (<= 8-bit grids).
         w = w.astype(jnp.bfloat16 if w.dtype == jnp.int8 and mxu == "bf16"
                      else jnp.float32)
+    elif w.dtype == jnp.bfloat16 and mxu == "f32":
+        # bf16-stored fp weights (tr_lstm_pack's unquantized_dtype):
+        # halved HBM stream, widened in VMEM.  Same rounding class as
+        # the f32 MXU's operand rounding on this chip.
+        w = w.astype(jnp.float32)
     return w.astype(jnp.bfloat16) if mxu == "bf16" else w
 
 

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from tq_tpu.layers.common import TRParams, quantize_weight
 from tq_tpu.layers.quantize import act_quantize, histogram_update
 
-__all__ = ["lstm_init", "lstm_apply", "tr_lstm_convert", "tr_lstm_apply"]
+__all__ = ["lstm_init", "lstm_apply", "tr_lstm_convert", "tr_lstm_apply",
+           "tr_lstm_pack"]
 
 
 def lstm_init(rng, input_size: int, hidden: int, num_layers: int):
@@ -50,19 +51,60 @@ def lstm_init(rng, input_size: int, hidden: int, num_layers: int):
     return layers
 
 
+def _proj(x2, w, w_sf=None):
+    """``x2 @ w`` for any serving weight layout.
+
+    fp32 weights multiply directly; bf16 weights cast the activations
+    too (on this chip f32 MXU operands already round to 8 mantissa bits
+    under ``--xla_allow_excess_precision``, so bf16 weights are the same
+    rounding class at half the HBM traffic).  Integer (int8/int16) and
+    :class:`PackedWeight8` weights stream narrow through the fused
+    kernel's raw-input mode (``quantize_x=False``) and decode inside
+    VMEM — the formats :func:`tr_lstm_pack` produces for weight-HBM
+    -bound token-by-token generation, where the fp32 recurrent weights
+    were ~40% of the per-step traffic (PERF.md round 3).
+    """
+    from tq_tpu.kernels.term_matmul import PackedWeight8, term_matmul
+
+    packed8 = isinstance(w, PackedWeight8)
+    if (packed8 or jnp.issubdtype(w.dtype, jnp.integer)
+            or w.dtype == jnp.bfloat16):
+        n = (w.lo if packed8 else w).shape[1]
+        # One j step when 4H fits a single tile: the gate dim (<= 4096
+        # for every config here) padded to the lane width wastes < 4%
+        # vs the default bn=512's up-to-18% pad at 4H=2600.  (bf16
+        # weights go through the kernel too: XLA's small-M bf16 matmul
+        # measured 2x SLOWER than fp32 — it materializes a layout
+        # conversion — while the kernel streams 2-byte tiles and widens
+        # in VMEM.)
+        bn = -(-n // 128) * 128
+        return term_matmul(
+            x2, w, jnp.float32(1.0), quantize_x=False,
+            w_sf=w_sf if (w_sf is not None
+                          and not packed8
+                          and jnp.issubdtype(w.dtype, jnp.integer))
+            else None,
+            bn=bn if bn <= 4096 else 512)
+    return jnp.dot(x2, w, preferred_element_type=jnp.float32)
+
+
 def _cell_scan(layer_params, x_seq, h0, c0):
     """One LSTM layer over the full sequence: (T, B, in) -> (T, B, H)."""
     w_ih, w_hh = layer_params["w_ih"], layer_params["w_hh"]
     bias = layer_params["b_ih"] + layer_params["b_hh"]
-    H = w_hh.shape[0]
+    H = h0.shape[-1]
+    T, B = x_seq.shape[0], x_seq.shape[1]
+    # Input projection hoisted out of the scan: one (T*B, in) @ (in, 4H)
+    # MXU matmul instead of T small ones — T-fold fewer weight streams
+    # from HBM and full MXU tiles.  Only the recurrent h @ w_hh stays
+    # per-step; it is the true serial dependence.
+    xw_seq = _proj(x_seq.reshape(T * B, -1), w_ih,
+                   layer_params.get("w_ih_sf")).reshape(T, B, 4 * H)
+    w_hh_sf = layer_params.get("w_hh_sf")
 
-    def step(carry, x_t):
+    def step(carry, xw_t):
         h, c = carry
-        gates = (
-            jnp.dot(x_t, w_ih, preferred_element_type=jnp.float32)
-            + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
-            + bias
-        )
+        gates = xw_t + _proj(h, w_hh, w_hh_sf) + bias
         i, f, g, o = (
             gates[:, :H],
             gates[:, H : 2 * H],
@@ -73,7 +115,7 @@ def _cell_scan(layer_params, x_seq, h0, c0):
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         return (h_new, c_new), h_new
 
-    (hT, cT), out = jax.lax.scan(step, (h0, c0), x_seq)
+    (hT, cT), out = jax.lax.scan(step, (h0, c0), xw_seq)
     return out, hT, cT
 
 
@@ -105,6 +147,46 @@ def tr_lstm_convert(
                 w_q, w_sf = quantize_weight(layer[key], tr, axis=0)
                 layer[key] = w_q
                 layer[key + "_sf"] = w_sf
+        out.append(layer)
+    return out
+
+
+def tr_lstm_pack(qp_rnn, tr: TRParams, fmt: str = "u8s",
+                 unquantized_dtype=None):
+    """Serving transform: pack the recurrent weights for HBM streaming.
+
+    Token-by-token generation re-reads every recurrent matrix per step
+    (the reference's lstm_models/generate.py loop); at the published
+    LSTM setting the fp32 ``w_ih``/``w_hh`` were ~40% of the u8s
+    generation step's HBM traffic (PERF.md round 3 — VERDICT r3 next
+    #2).  Quantized layers (those carrying ``w_*_sf``) pack to the
+    9-bit :class:`PackedWeight8` format (``fmt='u8s'``, 8-bit grids) or
+    narrow ints (``fmt='int'``: int8 for <= 7-bit grids, int16 up to
+    15); ``_proj`` streams them through the fused kernel's in-VMEM
+    decode.  ``unquantized_dtype=jnp.bfloat16`` additionally casts the
+    layers the reference leaves untouched (layer >= 1,
+    tr_layer.py:174-186) — halved traffic in the same rounding class as
+    this chip's f32 MXU operand rounding (see ``_proj``).
+    """
+    from tq_tpu.kernels.term_matmul import pack_weight_int, pack_weight_u8s
+
+    out = []
+    for layer in qp_rnn:
+        layer = dict(layer)
+        if "w_ih_sf" in layer:  # a quantized layer
+            for key in ("w_ih", "w_hh"):
+                sf = layer[key + "_sf"]
+                if fmt == "u8s" and tr.weight_bits <= 8:
+                    wp = pack_weight_u8s(layer[key], sf, tr.weight_bits)
+                    layer[key], layer[key + "_sf"] = wp, wp.w_sf
+                elif tr.weight_bits <= 15:
+                    w_int, w_sf = pack_weight_int(layer[key], sf,
+                                                  tr.weight_bits)
+                    layer[key], layer[key + "_sf"] = w_int, w_sf
+                # > 15-bit grids stay fp32 (nothing narrower fits).
+        elif unquantized_dtype is not None:
+            for key in ("w_ih", "w_hh"):
+                layer[key] = layer[key].astype(unquantized_dtype)
         out.append(layer)
     return out
 
