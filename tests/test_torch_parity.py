@@ -125,6 +125,34 @@ def test_lstm_scan_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(cj), cT.numpy(), atol=1e-5)
 
 
+@pytest.mark.parametrize("cell", ["GRU", "RNN_TANH", "RNN_RELU"])
+def test_rnn_cells_match_torch(rng, cell):
+    """GRU / vanilla-RNN scan cells == torch (reference model.py:14-22
+    supports all four recurrent types through one RNNModel)."""
+    from tq_tpu.layers.lstm import rnn_apply
+    from tq_tpu.utils.torch_import import from_state_dict
+
+    T, B, I, H, L = 5, 3, 6, 8, 2
+    torch.manual_seed(0)
+    if cell == "GRU":
+        m = torch.nn.GRU(I, H, num_layers=L)
+    else:
+        m = torch.nn.RNN(I, H, num_layers=L,
+                         nonlinearity=cell.split("_")[1].lower())
+    m.eval()
+    params = from_state_dict({f"rnn.{k}": v for k, v in m.state_dict().items()})
+    layers = [
+        {k: jnp.asarray(v) for k, v in layer.items()} for layer in params["rnn"]
+    ]
+    x = rng.normal(size=(T, B, I)).astype(np.float32)
+    h0 = rng.normal(size=(L, B, H)).astype(np.float32)
+    with torch.no_grad():
+        ref, hT = m(torch.from_numpy(x), torch.from_numpy(h0))
+    out, hj = rnn_apply(layers, jnp.asarray(x), jnp.asarray(h0), cell)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hj), hT.numpy(), atol=1e-5)
+
+
 def test_mlp_state_dict_import(rng):
     """torch 784-512-512-10 MLP forward == ours after import."""
     from tq_tpu.models import mlp

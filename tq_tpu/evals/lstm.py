@@ -40,7 +40,8 @@ def _chunks(stream: np.ndarray, bptt: int = BPTT):
         yield stream[i : i + seq], stream[i + 1 : i + 1 + seq].reshape(-1)
 
 
-def _run_epoch(fwd, qparams, qstate, stream, vocab, update_state: bool):
+def _run_epoch(fwd, qparams, qstate, stream, vocab, update_state: bool,
+               cell: str = "LSTM"):
     """One pass over the stream; returns (mean NLL per token, qstate).
 
     Chunks shorter than bptt (the tail) hit a fresh jit specialization;
@@ -49,7 +50,7 @@ def _run_epoch(fwd, qparams, qstate, stream, vocab, update_state: bool):
     total_loss = 0.0
     nhid = qparams["rnn"][0]["w_hh"].shape[0]
     hidden = lstm_lm.init_hidden(EVAL_BATCH, nhid=nhid,
-                                 nlayers=len(qparams["rnn"]))
+                                 nlayers=len(qparams["rnn"]), cell=cell)
     for x, y in _chunks(stream):
         logp, hidden, new_qs = fwd(
             qparams, qstate, jnp.asarray(x), hidden
@@ -65,18 +66,21 @@ def _run_epoch(fwd, qparams, qstate, stream, vocab, update_state: bool):
 
 def evaluate_setting(params, wb, wt, db, dt, gs, stream, vocab,
                      quantize_decoder_input=False, quantize_layers=(0,),
-                     merge_hack=True):
+                     merge_hack=True, cell: str = "LSTM"):
     qparams, qcfg, qstate = lstm_lm.convert(
         params, wb, gs, wt, db, dt,
         quantize_layers=quantize_layers,
         quantize_decoder_input=quantize_decoder_input,
+        cell=cell,
     )
     track_fwd = lstm_lm.make_quantized_apply(qcfg, track=True)
-    _, qstate = _run_epoch(track_fwd, qparams, qstate, stream, vocab, True)
+    _, qstate = _run_epoch(track_fwd, qparams, qstate, stream, vocab, True,
+                           cell)
     qstate = lstm_lm.finalize(qstate, qcfg)
 
     eval_fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
-    loss, _ = _run_epoch(eval_fwd, qparams, qstate, stream, vocab, False)
+    loss, _ = _run_epoch(eval_fwd, qparams, qstate, stream, vocab, False,
+                         cell)
     ppl = math.exp(loss)
 
     tr = TRParams(wb, gs, wt, db, dt)
@@ -146,7 +150,8 @@ def run_sweep(wb, wt, db, dt, gs, out_file=None, checkpoint=None,
 
         params = transformer_lm.init(jax.random.PRNGKey(0), vocab=vocab)
     else:
-        params = lstm_lm.init(jax.random.PRNGKey(0), vocab=vocab)
+        params = lstm_lm.init(jax.random.PRNGKey(0), vocab=vocab,
+                              cell=model)
 
     test = corpus.test
     if limit_tokens:
@@ -170,7 +175,7 @@ def run_sweep(wb, wt, db, dt, gs, out_file=None, checkpoint=None,
         else:
             ppl, tmacs, bits = evaluate_setting(
                 params, *setting, stream=stream, vocab=vocab,
-                merge_hack=merge_hack,
+                merge_hack=merge_hack, cell=model,
             )
         results["ppls"].append(ppl)
         results["tmacs"].append(float(tmacs))
@@ -220,7 +225,12 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--data", default=None)
     ap.add_argument("--limit-tokens", type=int, default=None)
-    ap.add_argument("--model", default="LSTM", choices=["LSTM", "Transformer"])
+    ap.add_argument("--model", default="LSTM",
+                    choices=["LSTM", "GRU", "RNN_TANH", "RNN_RELU",
+                             "Transformer"],
+                    help="the reference main.py model families; the "
+                         "recurrent cells share the TRLSTMLayer-style "
+                         "shared-quantizer protocol")
     ap.add_argument("--sound-hese", action="store_true",
                     help="count param_bits with the sound CSD automaton "
                          "instead of the reference's merging-neighbors hese()")

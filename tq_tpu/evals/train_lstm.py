@@ -1,13 +1,19 @@
-"""Wikitext-2 LSTM LM training (reference lstm_models/main.py:156-246).
+"""Wikitext-2 language-model training (reference lstm_models/main.py).
 
-Faithful training recipe: bptt=35 truncated BPTT with hidden-state
-carry, per-chunk loss on log-probs, manual SGD ``p -= lr * grad`` with
-global grad-norm clipping at 0.25, initial lr 20 annealed by /4 whenever
-validation loss fails to improve, best-val checkpoint selection.
-Dropout 0.5 on the embedding and between LSTM layers (model.py:36-47).
+One loop trains every model type the reference's ``--model`` flag
+accepts (main.py:13-17, 99-107): LSTM / GRU / RNN_TANH / RNN_RELU via
+the recurrent stack, and Transformer.  Faithful recipe: bptt=35
+truncated BPTT with hidden-state carry (Transformer: independent
+chunks, no carry — main.py:139-150), per-chunk loss on log-probs,
+manual SGD ``p -= lr * grad`` with global grad-norm clipping at 0.25,
+initial lr 20 annealed by /4 whenever validation loss fails to improve,
+best-val checkpoint selection.  Dropout on the embedding and between
+recurrent layers (model.py:36-47); the driver default is main.py's
+``--dropout`` default 0.2 (model.py's own 0.5 is only the class
+default, never used by the training entry point).
 
 TPU-native: one jitted train step per chunk length; the whole chunk's
-LSTM runs as a lax.scan.
+recurrence runs as a lax.scan.
 """
 
 from __future__ import annotations
@@ -25,9 +31,14 @@ from tq_tpu.data.wikitext import batchify, load_corpus
 from tq_tpu.models import lstm_lm
 from tq_tpu.utils.checkpoint import save_params
 
+RNN_CELLS = ("LSTM", "GRU", "RNN_TANH", "RNN_RELU")
+MODELS = RNN_CELLS + ("Transformer",)
 
-def _apply_train(params, tokens, hidden, rng, dropout: float):
-    """Forward with dropout (train mode), mirroring RNNModel.forward."""
+
+def _apply_train(params, tokens, hidden, rng, dropout: float,
+                 cell: str = "LSTM"):
+    """Recurrent-stack forward with dropout (train mode), mirroring
+    RNNModel.forward (model.py:48-54)."""
     emb = params["encoder"]["w"][tokens]
     k1, k2 = jax.random.split(rng)
     keep = 1.0 - dropout
@@ -35,53 +46,91 @@ def _apply_train(params, tokens, hidden, rng, dropout: float):
     from tq_tpu.layers.lstm import _cell_scan
 
     out = emb
-    hs, cs = [], []
     keys = jax.random.split(k2, len(params["rnn"]))
-    h0, c0 = hidden
+    if cell == "LSTM":
+        (h0, c0), cs = hidden, []
+    else:
+        h0 = hidden
+    hs = []
     for i, layer in enumerate(params["rnn"]):
-        out, hT, cT = _cell_scan(layer, out, h0[i], c0[i])
+        if cell == "LSTM":
+            out, hT, cT = _cell_scan(layer, out, h0[i], c0[i])
+            cs.append(cT)
+        else:
+            out, hT, _ = _cell_scan(layer, out, h0[i], cell=cell)
         if i < len(params["rnn"]) - 1:
             out = out * jax.random.bernoulli(keys[i], keep, out.shape) / keep
         hs.append(hT)
-        cs.append(cT)
     out = out * jax.random.bernoulli(keys[-1], keep, out.shape) / keep
     T, B, H = out.shape
     w = lstm_lm._decoder_weight(params)
     logits = jnp.dot(out.reshape(T * B, H), w) + params["decoder"]["b"]
-    return jax.nn.log_softmax(logits, -1), (jnp.stack(hs), jnp.stack(cs))
+    new_hidden = ((jnp.stack(hs), jnp.stack(cs)) if cell == "LSTM"
+                  else jnp.stack(hs))
+    return jax.nn.log_softmax(logits, -1), new_hidden
 
 
-@functools.partial(jax.jit, static_argnames=("dropout", "lr_is_traced"),
+def _sgd_clip_update(params, grads, lr):
+    """Global-norm clip at 0.25 (main.py:179) then manual SGD
+    ``p.data.add_(-lr, grad)`` (main.py:180-181)."""
+    gnorm = jnp.sqrt(sum(jnp.sum(g * g)
+                         for g in jax.tree_util.tree_leaves(grads)))
+    scale = jnp.minimum(1.0, 0.25 / (gnorm + 1e-6))
+    return jax.tree_util.tree_map(
+        lambda p, g: (p - lr * scale * g).astype(p.dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        params, grads)
+
+
+@functools.partial(jax.jit, static_argnames=("dropout", "cell"),
                    donate_argnums=(0,))
 def _train_step(params, tokens, targets, hidden, rng, lr,
-                dropout: float = 0.5, lr_is_traced: bool = True):
+                dropout: float = 0.2, cell: str = "LSTM"):
     def loss_fn(p):
-        logp, new_hidden = _apply_train(p, tokens, hidden, rng, dropout)
+        logp, new_hidden = _apply_train(p, tokens, hidden, rng, dropout,
+                                        cell)
         nll = -jnp.take_along_axis(logp, targets[:, None], axis=1).mean()
         return nll, new_hidden
 
     (loss, new_hidden), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    # Global-norm clip at 0.25 (main.py:179) then manual SGD (main.py:180-181).
-    gnorm = jnp.sqrt(sum(jnp.sum(g * g)
-                         for g in jax.tree_util.tree_leaves(grads)))
-    scale = jnp.minimum(1.0, 0.25 / (gnorm + 1e-6))
-    params = jax.tree_util.tree_map(
-        lambda p, g: (p - lr * scale * g).astype(p.dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
-        params, grads)
-    return params, loss, new_hidden
+    return _sgd_clip_update(params, grads, lr), loss, new_hidden
 
 
-def evaluate(params, stream, bptt: int = 35):
-    nhid = params["rnn"][0]["w_hh"].shape[0]
-    hidden = lstm_lm.init_hidden(stream.shape[1], nhid=nhid,
-                                 nlayers=len(params["rnn"]))
-    fwd = jax.jit(lstm_lm.apply)
+@functools.partial(jax.jit, static_argnames=("dropout", "nhead"),
+                   donate_argnums=(0,))
+def _train_step_transformer(params, tokens, targets, rng, lr,
+                            dropout: float = 0.2, nhead: int = 2):
+    from tq_tpu.models import transformer_lm
+
+    def loss_fn(p):
+        logp = transformer_lm.apply_train(p, tokens, rng, nhead=nhead,
+                                          dropout=dropout)
+        return -jnp.take_along_axis(logp, targets[:, None], axis=1).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    return _sgd_clip_update(params, grads, lr), loss
+
+
+def evaluate(params, stream, bptt: int = 35, model: str = "LSTM",
+             nhead: int = 2):
     total = 0.0
+    if model == "Transformer":
+        from tq_tpu.models import transformer_lm
+
+        fwd = jax.jit(functools.partial(transformer_lm.apply, nhead=nhead))
+    else:
+        nhid = params["rnn"][0]["w_hh"].shape[0]
+        hidden = lstm_lm.init_hidden(stream.shape[1], nhid=nhid,
+                                     nlayers=len(params["rnn"]), cell=model)
+        fwd = jax.jit(functools.partial(lstm_lm.apply, cell=model))
     for i in range(0, len(stream) - 1, bptt):
         seq = min(bptt, len(stream) - 1 - i)
         x = jnp.asarray(stream[i : i + seq])
         y = jnp.asarray(stream[i + 1 : i + 1 + seq].reshape(-1))
-        logp, hidden = fwd(params, x, hidden)
+        if model == "Transformer":
+            logp = fwd(params, x)
+        else:
+            logp, hidden = fwd(params, x, hidden)
         total += seq * float(
             -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
         )
@@ -89,13 +138,16 @@ def evaluate(params, stream, bptt: int = 35):
 
 
 def train(epochs: int = 40, batch_size: int = 20, bptt: int = 35,
-          lr: float = 20.0, dropout: float = 0.5, seed: int = 1111,
+          lr: float = 20.0, dropout: float = 0.2, seed: int = 1111,
           data_dir=None, save_path=None, emsize=650, nhid=650, nlayers=2,
-          limit_tokens=None, verbose=True):
+          limit_tokens=None, verbose=True, model: str = "LSTM",
+          nhead: int = 2):
+    if model not in MODELS:
+        raise ValueError(f"model must be one of {MODELS}, got {model!r}")
     corpus, source = load_corpus(data_dir)
     vocab = len(corpus.dictionary.idx2word)
     if verbose:
-        print(f"corpus: {source}, vocab={vocab}")
+        print(f"corpus: {source}, vocab={vocab}, model={model}")
     train_toks = np.asarray(corpus.train)
     val_toks = np.asarray(corpus.valid)
     if limit_tokens:
@@ -104,22 +156,38 @@ def train(epochs: int = 40, batch_size: int = 20, bptt: int = 35,
     train_stream = batchify(train_toks, batch_size)
     val_stream = batchify(val_toks, 10)
 
-    params = lstm_lm.init(jax.random.PRNGKey(seed), vocab=vocab,
-                          emsize=emsize, nhid=nhid, nlayers=nlayers)
+    if model == "Transformer":
+        from tq_tpu.models import transformer_lm
+
+        params = transformer_lm.init(jax.random.PRNGKey(seed), vocab=vocab,
+                                     emsize=emsize, nhead=nhead, nhid=nhid,
+                                     nlayers=nlayers)
+    else:
+        params = lstm_lm.init(jax.random.PRNGKey(seed), vocab=vocab,
+                              emsize=emsize, nhid=nhid, nlayers=nlayers,
+                              cell=model)
     rng = jax.random.PRNGKey(seed + 1)
     best_val = math.inf
     best_params = params
     for epoch in range(1, epochs + 1):
-        hidden = lstm_lm.init_hidden(batch_size, nhid=nhid, nlayers=nlayers)
+        if model != "Transformer":
+            hidden = lstm_lm.init_hidden(batch_size, nhid=nhid,
+                                         nlayers=nlayers, cell=model)
         for i in range(0, len(train_stream) - 1, bptt):
             seq = min(bptt, len(train_stream) - 1 - i)
             x = jnp.asarray(train_stream[i : i + seq])
             y = jnp.asarray(train_stream[i + 1 : i + 1 + seq].reshape(-1))
             rng, sub = jax.random.split(rng)
-            params, loss, hidden = _train_step(
-                params, x, y, hidden, sub, jnp.float32(lr), dropout
-            )
-        val_loss = evaluate(params, val_stream, bptt)
+            if model == "Transformer":
+                params, loss = _train_step_transformer(
+                    params, x, y, sub, jnp.float32(lr), dropout, nhead
+                )
+            else:
+                params, loss, hidden = _train_step(
+                    params, x, y, hidden, sub, jnp.float32(lr), dropout,
+                    model
+                )
+        val_loss = evaluate(params, val_stream, bptt, model, nhead)
         if verbose:
             print(f"epoch {epoch}: val_loss={val_loss:.3f} "
                   f"ppl={math.exp(min(val_loss, 700)):.2f} lr={lr}")
@@ -138,19 +206,26 @@ def main(argv=None):
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="LSTM", choices=list(MODELS),
+                    help="reference main.py --model: recurrent cell "
+                         "type or Transformer")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch-size", type=int, default=20)
     ap.add_argument("--lr", type=float, default=20.0)
+    ap.add_argument("--dropout", type=float, default=0.2)
+    ap.add_argument("--nhead", type=int, default=2)
     ap.add_argument("--data", default=None)
     ap.add_argument("--save", default="pretrained/lstm.npz")
     ap.add_argument("--emsize", type=int, default=650)
     ap.add_argument("--nhid", type=int, default=650)
+    ap.add_argument("--nlayers", type=int, default=2)
     ap.add_argument("--limit-tokens", type=int, default=None)
     a = ap.parse_args(argv)
     Path(a.save).parent.mkdir(parents=True, exist_ok=True)
-    train(a.epochs, a.batch_size, lr=a.lr, data_dir=a.data,
-          save_path=a.save, emsize=a.emsize, nhid=a.nhid,
-          limit_tokens=a.limit_tokens)
+    train(a.epochs, a.batch_size, lr=a.lr, dropout=a.dropout,
+          data_dir=a.data, save_path=a.save, emsize=a.emsize, nhid=a.nhid,
+          nlayers=a.nlayers, limit_tokens=a.limit_tokens, model=a.model,
+          nhead=a.nhead)
 
 
 if __name__ == "__main__":

@@ -29,12 +29,20 @@ import jax.numpy as jnp
 from tq_tpu.layers.common import TRParams, quantize_weight
 from tq_tpu.layers.quantize import act_quantize, histogram_update
 
-__all__ = ["lstm_init", "lstm_apply", "tr_lstm_convert", "tr_lstm_apply",
-           "tr_lstm_pack"]
+__all__ = ["lstm_init", "lstm_apply", "rnn_init", "rnn_apply",
+           "tr_lstm_convert", "tr_lstm_apply", "tr_lstm_pack", "GATE_MULT"]
+
+# Gate-matrix width multiplier per recurrent cell type.  The reference's
+# RNNModel supports all four (lstm_models/model.py:14-22: nn.LSTM /
+# nn.GRU / nn.RNN with tanh or relu nonlinearity); sweeps only ever used
+# LSTM, but main.py trains any of them through the same loop.
+GATE_MULT = {"LSTM": 4, "GRU": 3, "RNN_TANH": 1, "RNN_RELU": 1}
 
 
-def lstm_init(rng, input_size: int, hidden: int, num_layers: int):
-    """Uniform(-1/sqrt(H), 1/sqrt(H)) init, torch-style."""
+def rnn_init(rng, input_size: int, hidden: int, num_layers: int,
+             cell: str = "LSTM"):
+    """Uniform(-1/sqrt(H), 1/sqrt(H)) init, torch-style, any cell type."""
+    G = GATE_MULT[cell]
     k = 1.0 / jnp.sqrt(hidden)
     layers = []
     for i in range(num_layers):
@@ -42,13 +50,17 @@ def lstm_init(rng, input_size: int, hidden: int, num_layers: int):
         rng, *sub = jax.random.split(rng, 5)
         layers.append(
             {
-                "w_ih": jax.random.uniform(sub[0], (in_sz, 4 * hidden), minval=-k, maxval=k),
-                "w_hh": jax.random.uniform(sub[1], (hidden, 4 * hidden), minval=-k, maxval=k),
-                "b_ih": jax.random.uniform(sub[2], (4 * hidden,), minval=-k, maxval=k),
-                "b_hh": jax.random.uniform(sub[3], (4 * hidden,), minval=-k, maxval=k),
+                "w_ih": jax.random.uniform(sub[0], (in_sz, G * hidden), minval=-k, maxval=k),
+                "w_hh": jax.random.uniform(sub[1], (hidden, G * hidden), minval=-k, maxval=k),
+                "b_ih": jax.random.uniform(sub[2], (G * hidden,), minval=-k, maxval=k),
+                "b_hh": jax.random.uniform(sub[3], (G * hidden,), minval=-k, maxval=k),
             }
         )
     return layers
+
+
+def lstm_init(rng, input_size: int, hidden: int, num_layers: int):
+    return rnn_init(rng, input_size, hidden, num_layers, "LSTM")
 
 
 def _proj(x2, w, w_sf=None):
@@ -88,47 +100,92 @@ def _proj(x2, w, w_sf=None):
     return jnp.dot(x2, w, preferred_element_type=jnp.float32)
 
 
-def _cell_scan(layer_params, x_seq, h0, c0):
-    """One LSTM layer over the full sequence: (T, B, in) -> (T, B, H)."""
+def _cell_scan(layer_params, x_seq, h0, c0=None, cell: str = "LSTM"):
+    """One recurrent layer over the full sequence: (T, B, in) -> (T, B, H).
+
+    Torch gate conventions per cell so checkpoints import directly:
+    LSTM (i, f, g, o); GRU (r, z, n) with the n-gate's recurrent bias
+    kept *inside* the reset product (``n = tanh(gi_n + r*(h@W_hn +
+    b_hn))``, why ``b_ih``/``b_hh`` cannot be merged for GRU); vanilla
+    RNN ``h' = act(x@W_ih + h@W_hh + b)``.  ``c0`` is LSTM-only.
+    """
     w_ih, w_hh = layer_params["w_ih"], layer_params["w_hh"]
-    bias = layer_params["b_ih"] + layer_params["b_hh"]
     H = h0.shape[-1]
     T, B = x_seq.shape[0], x_seq.shape[1]
-    # Input projection hoisted out of the scan: one (T*B, in) @ (in, 4H)
+    G = GATE_MULT[cell]
+    # Input projection hoisted out of the scan: one (T*B, in) @ (in, GH)
     # MXU matmul instead of T small ones — T-fold fewer weight streams
     # from HBM and full MXU tiles.  Only the recurrent h @ w_hh stays
-    # per-step; it is the true serial dependence.
-    xw_seq = _proj(x_seq.reshape(T * B, -1), w_ih,
-                   layer_params.get("w_ih_sf")).reshape(T, B, 4 * H)
+    # per-step; it is the true serial dependence.  b_ih folds into the
+    # hoisted term for every cell (it never meets the reset gate).
+    xw_seq = (_proj(x_seq.reshape(T * B, -1), w_ih,
+                    layer_params.get("w_ih_sf")).reshape(T, B, G * H)
+              + layer_params["b_ih"])
     w_hh_sf = layer_params.get("w_hh_sf")
+    b_hh = layer_params["b_hh"]
 
-    def step(carry, xw_t):
-        h, c = carry
-        gates = xw_t + _proj(h, w_hh, w_hh_sf) + bias
-        i, f, g, o = (
-            gates[:, :H],
-            gates[:, H : 2 * H],
-            gates[:, 2 * H : 3 * H],
-            gates[:, 3 * H :],
-        )
-        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        return (h_new, c_new), h_new
+    if cell == "LSTM":
+        def step(carry, xw_t):
+            h, c = carry
+            gates = xw_t + _proj(h, w_hh, w_hh_sf) + b_hh
+            i, f, g, o = (
+                gates[:, :H],
+                gates[:, H : 2 * H],
+                gates[:, 2 * H : 3 * H],
+                gates[:, 3 * H :],
+            )
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
 
-    (hT, cT), out = jax.lax.scan(step, (h0, c0), xw_seq)
-    return out, hT, cT
+        (hT, cT), out = jax.lax.scan(step, (h0, c0), xw_seq)
+        return out, hT, cT
+
+    if cell == "GRU":
+        def step(h, xw_t):
+            gh = _proj(h, w_hh, w_hh_sf) + b_hh
+            r = jax.nn.sigmoid(xw_t[:, :H] + gh[:, :H])
+            z = jax.nn.sigmoid(xw_t[:, H : 2 * H] + gh[:, H : 2 * H])
+            n = jnp.tanh(xw_t[:, 2 * H :] + r * gh[:, 2 * H :])
+            h_new = (1.0 - z) * n + z * h
+            return h_new, h_new
+
+        hT, out = jax.lax.scan(step, h0, xw_seq)
+        return out, hT, None
+
+    act = jnp.tanh if cell == "RNN_TANH" else jax.nn.relu
+
+    def step(h, xw_t):
+        h_new = act(xw_t + _proj(h, w_hh, w_hh_sf) + b_hh)
+        return h_new, h_new
+
+    hT, out = jax.lax.scan(step, h0, xw_seq)
+    return out, hT, None
+
+
+def rnn_apply(params, x_seq, hidden, cell: str = "LSTM"):
+    """Multi-layer recurrent stack.  ``hidden`` = (h, c) each (L, B, H)
+    for LSTM (torch convention), a single (L, B, H) array otherwise."""
+    if cell == "LSTM":
+        h0, c0 = hidden
+        hs, cs = [], []
+        out = x_seq
+        for i, layer in enumerate(params):
+            out, hT, cT = _cell_scan(layer, out, h0[i], c0[i])
+            hs.append(hT)
+            cs.append(cT)
+        return out, (jnp.stack(hs), jnp.stack(cs))
+    hs = []
+    out = x_seq
+    for i, layer in enumerate(params):
+        out, hT, _ = _cell_scan(layer, out, hidden[i], cell=cell)
+        hs.append(hT)
+    return out, jnp.stack(hs)
 
 
 def lstm_apply(params, x_seq, hidden):
     """Multi-layer LSTM.  ``hidden`` = (h, c) each (L, B, H)."""
-    h0, c0 = hidden
-    hs, cs = [], []
-    out = x_seq
-    for i, layer in enumerate(params):
-        out, hT, cT = _cell_scan(layer, out, h0[i], c0[i])
-        hs.append(hT)
-        cs.append(cT)
-    return out, (jnp.stack(hs), jnp.stack(cs))
+    return rnn_apply(params, x_seq, hidden, "LSTM")
 
 
 def tr_lstm_convert(
@@ -191,26 +248,26 @@ def tr_lstm_pack(qp_rnn, tr: TRParams, fmt: str = "u8s",
     return out
 
 
-def tr_lstm_apply(qp, tr: TRParams, qs, x_seq, hidden, track: bool):
+def tr_lstm_apply(qp, tr: TRParams, qs, x_seq, hidden, track: bool,
+                  cell: str = "LSTM"):
     """Two-phase forward (tr_layer.py:191-195).
 
-    One shared quantizer for the embedding sequence and both hidden
-    tensors; applied once per chunk.  Returns (out, new_hidden, new_qs).
+    One shared quantizer for the embedding sequence and every hidden
+    tensor (h and c for LSTM, h alone for GRU/RNN — the reference only
+    ever wrapped nn.LSTM, so the single-hidden case follows the same
+    shared-quantizer rule); applied once per chunk.  Returns
+    (out, new_hidden, new_qs).
     """
-    h0, c0 = hidden
+    parts = (x_seq, *hidden) if cell == "LSTM" else (x_seq, hidden)
     if track:
         hist = qs["hist"]
-        hist = histogram_update(hist, x_seq)
-        hist = histogram_update(hist, h0)
-        hist = histogram_update(hist, c0)
+        for t in parts:
+            hist = histogram_update(hist, t)
         qs = {**qs, "hist": hist}
-        xq, hq, cq = x_seq, h0, c0
     elif tr.quantize_input:
         sf = qs["sf"]
-        xq = act_quantize(x_seq, sf, tr.data_bits, tr.data_terms)
-        hq = act_quantize(h0, sf, tr.data_bits, tr.data_terms)
-        cq = act_quantize(c0, sf, tr.data_bits, tr.data_terms)
-    else:
-        xq, hq, cq = x_seq, h0, c0
-    out, new_hidden = lstm_apply(qp, xq, (hq, cq))
+        parts = tuple(act_quantize(t, sf, tr.data_bits, tr.data_terms)
+                      for t in parts)
+    hidden_q = parts[1:] if cell == "LSTM" else parts[1]
+    out, new_hidden = rnn_apply(qp, parts[0], hidden_q, cell)
     return out, new_hidden, qs

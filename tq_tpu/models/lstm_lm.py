@@ -27,7 +27,12 @@ from tq_tpu.layers.linear import (
     tr_dense_apply,
     tr_dense_convert,
 )
-from tq_tpu.layers.lstm import lstm_apply, lstm_init, tr_lstm_apply, tr_lstm_convert
+from tq_tpu.layers.lstm import (
+    rnn_apply,
+    rnn_init,
+    tr_lstm_apply,
+    tr_lstm_convert,
+)
 
 VOCAB = 33278  # wikitext-2 word vocabulary (reference corpus)
 EMSIZE = 650
@@ -39,14 +44,16 @@ __all__ = ["init", "apply", "init_hidden", "convert", "make_quantized_apply",
 
 
 def init(rng, vocab: int = VOCAB, emsize: int = EMSIZE, nhid: int = NHID,
-         nlayers: int = NLAYERS, tied: bool = True):
+         nlayers: int = NLAYERS, tied: bool = True, cell: str = "LSTM"):
     """Uniform(-0.1, 0.1) encoder/decoder init (model.py:30-34), torch
-    LSTM default for the recurrent weights."""
+    default for the recurrent weights.  ``cell`` selects the recurrent
+    module exactly as the reference's ``--model`` flag does
+    (model.py:14-22): LSTM / GRU / RNN_TANH / RNN_RELU."""
     k_emb, k_lstm, k_dec = jax.random.split(rng, 3)
     params = {
         "encoder": {"w": jax.random.uniform(k_emb, (vocab, emsize),
                                             minval=-0.1, maxval=0.1)},
-        "rnn": lstm_init(k_lstm, emsize, nhid, nlayers),
+        "rnn": rnn_init(k_lstm, emsize, nhid, nlayers, cell),
         "decoder": {
             "b": jnp.zeros((vocab,), jnp.float32),
         },
@@ -66,15 +73,28 @@ def _decoder_weight(params):
     return dec["w"]
 
 
-def init_hidden(batch: int, nhid: int = NHID, nlayers: int = NLAYERS):
+def init_hidden(batch: int, nhid: int = NHID, nlayers: int = NLAYERS,
+                cell: str = "LSTM"):
+    """(h, c) for LSTM, a single h array otherwise (torch convention,
+    model.py:57-63)."""
     z = jnp.zeros((nlayers, batch, nhid), jnp.float32)
-    return (z, z)
+    return (z, z) if cell == "LSTM" else z
 
 
-def apply(params, tokens, hidden):
+def infer_cell(params, nonlinearity: str = "tanh") -> str:
+    """Recover the cell family from the gate-matrix width (w_hh is
+    (H, G*H); G = 4 LSTM / 3 GRU / 1 vanilla).  tanh-vs-relu is not
+    recoverable from shapes; ``nonlinearity`` breaks that tie."""
+    w_hh = params["rnn"][0]["w_hh"]
+    G = w_hh.shape[1] // w_hh.shape[0]
+    return {4: "LSTM", 3: "GRU"}.get(
+        G, "RNN_RELU" if nonlinearity == "relu" else "RNN_TANH")
+
+
+def apply(params, tokens, hidden, cell: str = "LSTM"):
     """fp32 forward: (T, B) int tokens -> ((T*B, vocab) log-probs, hidden)."""
     emb = params["encoder"]["w"][tokens]  # (T, B, emsize)
-    out, hidden = lstm_apply(params["rnn"], emb, hidden)
+    out, hidden = rnn_apply(params["rnn"], emb, hidden, cell)
     T, B, H = out.shape
     w = _decoder_weight(params)
     logits = jnp.dot(out.reshape(T * B, H), w,
@@ -91,6 +111,7 @@ def convert(
     dt: int,
     quantize_layers=(0,),
     quantize_decoder_input: bool = False,
+    cell: str = "LSTM",
 ):
     """TR-convert the LSTM + decoder (static_lstm_layer_settings gives
     both the same (wb, gs, wt); evaluate_lstm.py:39-46).
@@ -107,7 +128,7 @@ def convert(
     qparams["rnn"] = tr_lstm_convert(params["rnn"], tr_rnn, quantize_layers)
     dec = {"w": _decoder_weight(params), "b": params["decoder"]["b"]}
     qparams["decoder"] = tr_dense_convert(dec, tr_dec)
-    qcfg = {"rnn": tr_rnn, "decoder": tr_dec}
+    qcfg = {"rnn": tr_rnn, "decoder": tr_dec, "cell": cell}
     qstate = {"rnn": init_quant_state(), "decoder": init_quant_state()}
     return qparams, qcfg, qstate
 
@@ -159,12 +180,14 @@ def pack(qparams, qcfg, fmt: str = "int", rnn: bool | None = None,
 
 def make_quantized_apply(qcfg, track: bool):
     """f(qparams, qstate, tokens, hidden) -> (logp, hidden, new_qstate)."""
+    cell = qcfg.get("cell", "LSTM")
 
     @jax.jit
     def forward(qparams, qstate, tokens, hidden):
         emb = qparams["encoder"]["w"][tokens]
         out, hidden, qs_rnn = tr_lstm_apply(
-            qparams["rnn"], qcfg["rnn"], qstate["rnn"], emb, hidden, track
+            qparams["rnn"], qcfg["rnn"], qstate["rnn"], emb, hidden, track,
+            cell,
         )
         T, B, H = out.shape
         logits, qs_dec = tr_dense_apply(

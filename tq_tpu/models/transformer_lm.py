@@ -31,8 +31,8 @@ from tq_tpu.layers.linear import (
     tr_dense_convert,
 )
 
-__all__ = ["init", "apply", "convert", "make_quantized_apply", "finalize",
-           "pack"]
+__all__ = ["init", "apply", "apply_train", "convert",
+           "make_quantized_apply", "finalize", "pack"]
 
 
 def _layer_names(nlayers: int):
@@ -84,8 +84,11 @@ def _positional_encoding(T: int, d: int):
     return jnp.asarray(pe)
 
 
-def _attention(params, pre, x, nhead: int):
-    """Causal multi-head self-attention on (T, B, d)."""
+def _attention(params, pre, x, nhead: int, dropout: float = 0.0,
+               dropout_rng=None):
+    """Causal multi-head self-attention on (T, B, d).  ``dropout`` (on
+    the attention probabilities, torch MultiheadAttention's site) is
+    train-mode only."""
     T, B, d = x.shape
     hd = d // nhead
     proj = params[f"{pre}.self_attn.in_proj"]
@@ -100,6 +103,10 @@ def _attention(params, pre, x, nhead: int):
     mask = jnp.tril(jnp.ones((T, T), bool))
     scores = jnp.where(mask, scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)
+    if dropout > 0.0:
+        keep = 1.0 - dropout
+        attn = attn * jax.random.bernoulli(dropout_rng, keep,
+                                           attn.shape) / keep
     out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
     out = out.transpose(2, 0, 1, 3).reshape(T, B, d)
     return out
@@ -140,6 +147,43 @@ def apply(params, tokens, nhead: int = 2, qcfg=None, qstate=None,
     if qcfg is not None:
         return logp, new_state
     return logp
+
+
+def apply_train(params, tokens, rng, nhead: int = 2, dropout: float = 0.2):
+    """Train-mode forward with dropout at torch's sites: after the
+    positional encoding (PositionalEncoding.forward, model.py:100-106),
+    on the attention probabilities, after each sublayer output before
+    its residual add, and on the ReLU feed-forward hidden
+    (TransformerEncoderLayer's dropout/dropout1/dropout2).  The training
+    driver (``tq_tpu.evals.train_lstm --model Transformer``) pairs this
+    with the reference's annealed-SGD loop (main.py:139-150,156-227)."""
+    d = params["encoder"]["w"].shape[1]
+    nlayers = sum(1 for k in params if k.endswith(".linear1"))
+    T, B = tokens.shape
+    keep = 1.0 - dropout
+
+    def drop(key, x):
+        if dropout == 0.0:
+            return x
+        return x * jax.random.bernoulli(key, keep, x.shape) / keep
+
+    def dense(name, x):
+        p = params[name]
+        return jnp.dot(x, p["w"]) + p["b"]
+
+    keys = jax.random.split(rng, 5 * nlayers + 1)
+    h = params["encoder"]["w"][tokens] * math.sqrt(d)
+    h = drop(keys[0], h + _positional_encoding(T, d)[:, None, :])
+    for i, pre in _layer_names(nlayers):
+        k = keys[1 + 5 * i : 1 + 5 * (i + 1)]
+        a = _attention(params, pre, h, nhead, dropout, k[0])
+        a = dense(f"{pre}.self_attn.out_proj", a)
+        h = _layer_norm(params[f"{pre}.norm1"], h + drop(k[1], a))
+        f = drop(k[2], jax.nn.relu(dense(f"{pre}.linear1", h)))
+        f = dense(f"{pre}.linear2", f)
+        h = _layer_norm(params[f"{pre}.norm2"], h + drop(k[3], f))
+    logits = dense("decoder", h.reshape(T * B, d))
+    return jax.nn.log_softmax(logits, axis=-1)
 
 
 def convert(params, wb, gs, wt, db, dt, quantize_input: bool = False):
