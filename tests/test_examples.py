@@ -36,3 +36,20 @@ def test_example_runs(script, args, expect):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert expect in proc.stdout, proc.stdout[-2000:]
+
+
+def test_readme_generate_command(tmp_path):
+    """The committed demo checkpoint makes the README's generate command
+    work from a fresh checkout (VERDICT r3 next #6)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = tmp_path / "generated.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "tq_tpu.evals.generate",
+         "--checkpoint", "pretrained/lstm.npz", "--words", "25",
+         "--outf", str(out)],
+        capture_output=True, text=True, timeout=900, env=env, cwd=str(ROOT),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "wrote 25 words" in proc.stdout
+    assert len(out.read_text().split()) == 25

@@ -193,7 +193,9 @@ def train(epochs: int = 40, batch_size: int = 20, bptt: int = 35,
                   f"ppl={math.exp(min(val_loss, 700)):.2f} lr={lr}")
         if val_loss < best_val:
             best_val = val_loss
-            best_params = params
+            # Host snapshot: the train step donates its params buffers,
+            # so a bare alias here would be deleted by the next step.
+            best_params = jax.device_get(params)
             if save_path:
                 save_params(save_path, params)
         else:

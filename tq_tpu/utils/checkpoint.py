@@ -78,16 +78,26 @@ def unflatten_tree(flat: dict):
     return listify(root)
 
 
-def save_params(path: str | Path, tree):
+def save_params(path: str | Path, tree, store_dtype=None):
+    """``store_dtype=np.float16`` halves on-disk size for distribution
+    checkpoints (committed demo weights); float leaves are narrowed at
+    save and widened back to float32 by :func:`load_params` — storage
+    dtype, not compute dtype."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = flatten_tree(jax.device_get(tree))
+    if store_dtype is not None:
+        flat = {k: (v.astype(store_dtype)
+                    if np.issubdtype(v.dtype, np.floating) else v)
+                for k, v in flat.items()}
     np.savez(path, **flat)
 
 
 def load_params(path: str | Path):
     with np.load(Path(path), allow_pickle=False) as z:
-        flat = {k: z[k] for k in z.files}
+        flat = {k: (z[k].astype(np.float32)
+                    if z[k].dtype == np.float16 else z[k])
+                for k in z.files}
     return unflatten_tree(flat)
 
 
