@@ -123,3 +123,41 @@ def test_column_parallel_packed_matches(mesh):
                                         mesh, bf16=False, quantize_x=False)
     np.testing.assert_allclose(np.asarray(out_raw), np.asarray(ref_raw),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_transformer_tp_packed_decoder_matches(mesh):
+    """Model-level Transformer TP serving: packed decoder sharded over
+    'model' reproduces the single-device quantized forward (VERDICT r3
+    next #8 — the Transformer mirror of the LSTM packed-decoder TP)."""
+    import jax
+
+    from tq_tpu.models import transformer_lm
+
+    p = transformer_lm.init(jax.random.PRNGKey(0), vocab=64, emsize=16,
+                            nhead=2, nhid=16, nlayers=1)
+    qp, qcfg, qs = transformer_lm.convert(p, 8, 8, 24, 8, 8)
+    qs = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qs.items()}
+    qp = transformer_lm.pack(qp, qcfg, fmt="u8s")
+    toks = jnp.asarray(
+        np.random.default_rng(3).integers(0, 64, (7, 2)), jnp.int32)
+
+    ref, _ = transformer_lm.make_quantized_apply(qcfg, track=False)(
+        qp, qs, toks)
+    tp_fwd = transformer_lm.make_tp_quantized_apply(qcfg, mesh)
+    out, _ = tp_fwd(qp, qs, toks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_transformer_tp_requires_packed(mesh):
+    import jax
+
+    from tq_tpu.models import transformer_lm
+
+    p = transformer_lm.init(jax.random.PRNGKey(0), vocab=64, emsize=16,
+                            nhead=2, nhid=16, nlayers=1)
+    qp, qcfg, qs = transformer_lm.convert(p, 8, 8, 24, 8, 8)
+    qs = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qs.items()}
+    toks = jnp.zeros((3, 1), jnp.int32)
+    with pytest.raises(TypeError, match="u8s-packed"):
+        transformer_lm.make_tp_quantized_apply(qcfg, mesh)(qp, qs, toks)

@@ -32,7 +32,8 @@ from tq_tpu.layers.linear import (
 )
 
 __all__ = ["init", "apply", "apply_train", "convert",
-           "make_quantized_apply", "finalize", "pack"]
+           "make_quantized_apply", "make_tp_quantized_apply", "finalize",
+           "pack"]
 
 
 def _layer_names(nlayers: int):
@@ -113,13 +114,15 @@ def _attention(params, pre, x, nhead: int, dropout: float = 0.0,
 
 
 def apply(params, tokens, nhead: int = 2, qcfg=None, qstate=None,
-          track=False):
+          track=False, decoder_fn=None):
     """(T, B) tokens -> (T*B, vocab) log-probs.
 
     ``nhead`` is static (the reference default is 2, evaluate_lstm.py
     --nhead).  When ``qcfg`` is given, the out_proj / linear1 / linear2 /
     decoder matmuls run through TR dense layers; returns
-    (logp, new_qstate).
+    (logp, new_qstate).  ``decoder_fn`` overrides the final decoder
+    matmul (tensor-parallel serving routes it through the sharded
+    packed kernel, :func:`make_tp_quantized_apply`).
     """
     d = params["encoder"]["w"].shape[1]
     nlayers = sum(1 for k in params if k.endswith(".linear1"))
@@ -142,7 +145,10 @@ def apply(params, tokens, nhead: int = 2, qcfg=None, qstate=None,
         h = _layer_norm(params[f"{pre}.norm1"], h + a)
         f = dense(f"{pre}.linear2", jax.nn.relu(dense(f"{pre}.linear1", h)))
         h = _layer_norm(params[f"{pre}.norm2"], h + f)
-    logits = dense("decoder", h.reshape(T * B, d))
+    if decoder_fn is not None:
+        logits = decoder_fn(h.reshape(T * B, d))
+    else:
+        logits = dense("decoder", h.reshape(T * B, d))
     logp = jax.nn.log_softmax(logits, axis=-1)
     if qcfg is not None:
         return logp, new_state
@@ -222,6 +228,56 @@ def pack(qparams, qcfg, fmt: str = "int"):
         elif fmt == "u8s" or tr.weight_bits <= 15:
             out[name] = pack_dense_weights(qparams[name], tr, fmt=fmt)
     return out
+
+
+def make_tp_quantized_apply(qcfg, mesh, nhead: int = 2):
+    """Serving forward with the 9-bit packed decoder column-parallel
+    over the mesh's 'model' axis — the Transformer mirror of the LSTM
+    packed-decoder TP (VERDICT r3 next #8).
+
+    Autoregressive generation re-reads the decoder (emsize -> vocab,
+    the dominant weight stream) every token; sharding its
+    1.125-bytes/weight packed planes over the mesh divides that
+    per-token HBM traffic by the mesh size while each device decodes
+    its shard in VMEM (:func:`~tq_tpu.parallel.tp.tp_term_matmul_col_packed`).
+    The trunk (attention + FFN, tiny next to the vocab matmul at
+    generation shapes) stays replicated.  Requires
+    ``pack(qparams, qcfg, fmt='u8s')`` params; the decoder's TR config
+    drives quantize-vs-raw input exactly as ``tr_dense_apply`` does.
+    """
+    from tq_tpu.parallel.tp import tp_term_matmul_col_packed
+
+    tr = qcfg["decoder"]
+
+    @jax.jit
+    def forward(qparams, qstate, tokens):
+        from tq_tpu.kernels.term_matmul import PackedWeight8
+
+        dec = qparams["decoder"]
+        if not isinstance(dec["w"], PackedWeight8):
+            raise TypeError(
+                "make_tp_quantized_apply needs u8s-packed decoder "
+                "weights — call pack(qparams, qcfg, fmt='u8s') first")
+
+        def decoder_fn(h2):
+            if tr.quantize_input:
+                y = tp_term_matmul_col_packed(
+                    h2, dec["w"], qstate["decoder"]["sf"],
+                    tr.data_bits, tr.data_terms, mesh)
+            else:  # raw-input serving (the reference TRLinearLayer path)
+                # bf16=False: raw activations are not small integers, so
+                # the bf16 MXU would not be exact here (unlike the
+                # quantized branch, where magnitudes <= 256 are).
+                y = tp_term_matmul_col_packed(
+                    h2, dec["w"], jnp.float32(1.0),
+                    tr.data_bits, tr.data_terms, mesh, bf16=False,
+                    quantize_x=False)
+            return y + dec["b"]
+
+        return apply(qparams, tokens, nhead=nhead, qcfg=qcfg,
+                     qstate=qstate, track=False, decoder_fn=decoder_fn)
+
+    return forward
 
 
 def make_quantized_apply(qcfg, track: bool, nhead: int = 2):

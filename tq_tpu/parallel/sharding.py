@@ -65,11 +65,17 @@ def cnn_param_specs(params) -> dict:
     return specs
 
 
-def shard_batch(x, mesh: Mesh):
+def shard_batch(x, mesh: Mesh, axis: int = 0):
     """device_put ``x`` batch-sharded over 'data' (replicated when the
-    batch does not divide the axis — e.g. a tail batch)."""
+    batch does not divide the axis — e.g. a tail batch).  ``axis``
+    selects which dim is the batch (time-major LM streams are (T, B):
+    axis=1)."""
     n = mesh.shape["data"]
-    spec = P("data") if x.shape[0] % n == 0 else P()
+    if x.shape[axis] % n == 0:
+        spec = P(*(("data" if i == axis else None)
+                   for i in range(axis + 1)))
+    else:
+        spec = P()
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
