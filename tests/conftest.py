@@ -23,6 +23,17 @@ import jax  # noqa: E402
 if not os.environ.get("TQ_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the slow tier is dominated by XLA:CPU
+# compiles of the CNN graphs (VERDICT r3 weak #3); re-runs hit disk
+# instead (measured: slow tier 9:30 cold -> ~4 min warm).  Safe to
+# share: the cache key covers program + flags + platform, so the
+# virtual-mesh and single-device entries coexist.
+_CACHE = os.environ.get("TQ_TEST_CACHE_DIR", "/tmp/tq_test_jax_cache")
+if _CACHE != "0":
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -30,3 +41,23 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+_CNN_PARAMS: dict = {}
+
+
+@pytest.fixture(scope="session")
+def cnn_params():
+    """Session-scoped random-init cache: ``cnn_params(module, seed)``.
+
+    The big zoo inits (vgg is 138M uniform draws) are pure and reused
+    read-only across tests; initializing them once per session trims
+    the slow tier (VERDICT r3 next #5)."""
+
+    def get(m, seed: int = 0):
+        key = (m.__name__, seed)
+        if key not in _CNN_PARAMS:
+            _CNN_PARAMS[key] = m.init(jax.random.PRNGKey(seed))
+        return _CNN_PARAMS[key]
+
+    return get

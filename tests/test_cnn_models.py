@@ -67,8 +67,8 @@ def test_alexnet_countable_macs():
         (alexnet, 61_100_840),      # torchvision alexnet
     ],
 )
-def test_param_count_matches_torch(m, n):
-    assert param_count(m.init(jax.random.PRNGKey(0))) == n
+def test_param_count_matches_torch(m, n, cnn_params):
+    assert param_count(cnn_params(m)) == n
 
 
 def test_cnn_cost_reproduces_reference_formula():
@@ -100,17 +100,17 @@ def test_policy_exemptions():
 @pytest.mark.parametrize("m,image", [(resnet, 64), (mobilenet, 64),
                                      (efficientnet, 64), (alexnet, 224),
                                      (vgg, 224)])
-def test_fp32_forward_shapes(m, image, rng):
-    params = m.init(jax.random.PRNGKey(0))
+def test_fp32_forward_shapes(m, image, rng, cnn_params):
+    params = cnn_params(m)
     x = jnp.asarray(rng.normal(size=(2, image, image, 3)), jnp.float32)
     y = m.apply(params, x)
     assert y.shape == (2, 1000)
     assert bool(jnp.all(jnp.isfinite(y)))
 
 
-def test_resnet_convert_and_two_phase_eval(rng):
+def test_resnet_convert_and_two_phase_eval(rng, cnn_params):
     """Full convert -> calibrate -> finalize -> eval cycle on resnet18."""
-    params = resnet.init(jax.random.PRNGKey(0))
+    params = cnn_params(resnet)
     specs = resnet.conv_specs()
     settings = static_conv_layer_settings(specs, 8, 8, 16)
     qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 8, 4)
@@ -128,13 +128,17 @@ def test_resnet_convert_and_two_phase_eval(rng):
     assert bool(jnp.all(jnp.isfinite(logits)))
 
 
-def test_convert_high_bits_near_lossless(rng):
-    """(16,1,16) exempt-style conversion must preserve fp32 outputs."""
-    params = resnet.init(jax.random.PRNGKey(1))
+def test_convert_high_bits_near_lossless(rng, cnn_params):
+    """(16,1,16) exempt-style conversion must preserve fp32 outputs.
+
+    32px input: the check is about quantization transparency, not
+    feature-map sizes, and the three 64px compiles were the slow
+    tier's second-biggest line (VERDICT r3 next #5)."""
+    params = cnn_params(resnet, seed=1)
     specs = resnet.conv_specs()
     settings = [(16, 1, 16)] * len(specs)
     qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 16, 16)
-    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
     ref = resnet.apply(params, x)
     # calibrate so scales exist
     track = make_cnn_apply(resnet, qcfg, track=True)
@@ -173,7 +177,7 @@ def test_pack_conv_int8_serving(rng):
     assert float(jnp.sum(qs2["hist"])) > 0
 
 
-def test_pack_cnn_whole_model(rng):
+def test_pack_cnn_whole_model(rng, cnn_params):
     """pack_cnn packs swept layers to int8/int16, skips 16-bit exempt rows,
     and the packed model's logits match the fp fake-quant model."""
     import jax
@@ -184,7 +188,7 @@ def test_pack_cnn_whole_model(rng):
                                 static_conv_layer_settings)
     from tq_tpu.models import resnet
 
-    params = resnet.init(jax.random.PRNGKey(0))
+    params = cnn_params(resnet)
     specs = resnet.conv_specs()
     settings = static_conv_layer_settings(specs, 7, 8, 12)
     qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 7, 3)
@@ -203,7 +207,7 @@ def test_pack_cnn_whole_model(rng):
 @pytest.mark.parametrize("m,image", [(resnet, 64), (mobilenet, 64),
                                      (efficientnet, 64), (alexnet, 224),
                                      (vgg, 224)])
-def test_bf16_io_serving_mode_all_archs(m, image, rng):
+def test_bf16_io_serving_mode_all_archs(m, image, rng, cnn_params):
     """compute_dtype=bf16 serving: runs on every arch (SiLU/SE/depthwise
     included) and stays within the bf16 rounding class of the f32 path.
 
@@ -215,7 +219,7 @@ def test_bf16_io_serving_mode_all_archs(m, image, rng):
     on-chip check).  So the CI bound is deliberately loose: finiteness,
     dtype, and rel < 0.2.
     """
-    params = m.init(jax.random.PRNGKey(0))
+    params = cnn_params(m)
     image_arg = image if m in (resnet, mobilenet, efficientnet) else None
     specs = m.conv_specs(image_arg) if image_arg else m.conv_specs()
     settings = static_conv_layer_settings(specs, 9, 8, 12)

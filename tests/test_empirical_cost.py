@@ -111,7 +111,7 @@ def test_dense_total_matches_matmul_of_counts(rng):
 
 
 @pytest.mark.slow
-def test_empirical_validates_analytic_cnn_cost(rng):
+def test_empirical_validates_analytic_cnn_cost(rng, cnn_params):
     """Full-model check on ResNet-18 @ 64px: every counted layer's
     measured pairs are (a) within the analytic budget and (b) within
     12% of the avg-terms factorization — the cost model is validated by
@@ -123,7 +123,7 @@ def test_empirical_validates_analytic_cnn_cost(rng):
     from tq_tpu.profilers.trace_specs import specs_for
 
     image, batch = 64, 2
-    params = resnet.init(jax.random.PRNGKey(0))
+    params = cnn_params(resnet)
     specs = specs_for(resnet, image=image)
     settings = static_conv_layer_settings(specs, 9, 8, 12)
     qparams, qcfg, qstate = convert_cnn(resnet, params, settings, 9, 3,

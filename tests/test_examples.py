@@ -15,6 +15,17 @@ pytestmark = pytest.mark.slow  # heavyweight tier (make test-fast deselects)
 
 ROOT = Path(__file__).resolve().parents[1]
 
+def _cache_env(env):
+    """Subprocesses share the suite's persistent compile cache (they
+    can't inherit in-process jax.config, but JAX reads these env vars)."""
+    cache = os.environ.get("TQ_TEST_CACHE_DIR", "/tmp/tq_test_jax_cache")
+    if cache != "0":
+        env["JAX_COMPILATION_CACHE_DIR"] = cache
+        env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    return env
+
+
 EXAMPLES = [
     ("quantize_resnet18.py", ["--wt", "12", "--image", "64", "--batch", "4"],
      "serving-mode top-1 agrees"),
@@ -26,7 +37,7 @@ EXAMPLES = [
 @pytest.mark.parametrize("script,args,expect", EXAMPLES,
                          ids=[e[0] for e in EXAMPLES])
 def test_example_runs(script, args, expect):
-    env = dict(os.environ)
+    env = _cache_env(dict(os.environ))
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
@@ -41,7 +52,7 @@ def test_example_runs(script, args, expect):
 def test_readme_generate_command(tmp_path):
     """The committed demo checkpoint makes the README's generate command
     work from a fresh checkout (VERDICT r3 next #6)."""
-    env = dict(os.environ)
+    env = _cache_env(dict(os.environ))
     env["JAX_PLATFORMS"] = "cpu"
     out = tmp_path / "generated.txt"
     proc = subprocess.run(
