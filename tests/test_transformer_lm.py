@@ -171,3 +171,61 @@ def test_pack_transformer_serving(rng, fmt):
     out, _ = ev(packed, qs, tokens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_generate_transformer_tr_quantized_sampler():
+    """TR-quantized transformer generation (generate_transformer_tr):
+    calibrate on a synthetic stream, pack every linear (9-bit u8s),
+    sample in one lax.scan — the Transformer mirror of generate_tr."""
+    from tq_tpu.data.wikitext import batchify
+    from tq_tpu.evals.generate import generate_transformer_tr
+
+    vocab = 30
+    params = transformer_lm.init(
+        jax.random.PRNGKey(4), vocab=vocab, emsize=16, nhid=24, nlayers=1)
+    rng = np.random.default_rng(0)
+    stream = batchify(rng.integers(0, vocab, 800).astype(np.int32), 4)
+    toks = generate_transformer_tr(
+        params, vocab, words=8, seed=3, tr=(8, 8, 24, 8, 8),
+        pack_fmt="u8s", calib_stream=stream, calib_chunks=2)
+    assert len(toks) == 8 and all(0 <= t < vocab for t in toks)
+    # Deterministic: on-device PRNG, same seed -> same path.
+    assert toks == generate_transformer_tr(
+        params, vocab, words=8, seed=3, tr=(8, 8, 24, 8, 8),
+        pack_fmt="u8s", calib_stream=stream, calib_chunks=2)
+
+
+def test_decode_step_matches_full_prefix():
+    """KV-cache incremental decoding == the full-prefix forward at every
+    position, fp32 and TR-quantized (the exactness claim that makes the
+    weight-HBM-bound serving sampler sound)."""
+    vocab, emsize, nhead, nlayers = 30, 16, 2, 2
+    params = transformer_lm.init(
+        jax.random.PRNGKey(7), vocab=vocab, emsize=emsize, nhead=nhead,
+        nhid=24, nlayers=nlayers)
+    rng = np.random.default_rng(0)
+    T, B = 6, 3
+    toks = jnp.asarray(rng.integers(0, vocab, (T, B)), jnp.int32)
+
+    full = transformer_lm.apply(params, toks).reshape(T, B, vocab)
+    cache = transformer_lm.decode_init_cache(T, B, emsize, nhead, nlayers)
+    for t in range(T):
+        logp, cache = transformer_lm.decode_step(
+            params, toks[t : t + 1], t, cache, nhead=nhead)
+        np.testing.assert_allclose(np.asarray(logp), np.asarray(full[t]),
+                                   atol=1e-5, err_msg=f"pos {t}")
+
+    # Quantized + u8s-packed path agrees with the quantized full forward.
+    qp, qcfg, qs = transformer_lm.convert(params, 8, 8, 24, 8, 8)
+    qs = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qs.items()}
+    qfull, _ = transformer_lm.make_quantized_apply(qcfg, track=False)(
+        qp, qs, toks)
+    qfull = qfull.reshape(T, B, vocab)
+    qp_packed = transformer_lm.pack(qp, qcfg, fmt="u8s")
+    cache = transformer_lm.decode_init_cache(T, B, emsize, nhead, nlayers)
+    for t in range(T):
+        logp, cache = transformer_lm.decode_step(
+            qp_packed, toks[t : t + 1], t, cache, nhead=nhead,
+            qcfg=qcfg, qstate=qs)
+        np.testing.assert_allclose(np.asarray(logp), np.asarray(qfull[t]),
+                                   atol=2e-4, err_msg=f"q pos {t}")

@@ -5,14 +5,19 @@ Samples ``--words`` tokens autoregressively from a trained (optionally
 TR-converted) model with temperature scaling; writes one word per token,
 '<eos>' as newline, 20 words per line like the reference.
 
-The Transformer branch is TPU-idiomatic where the reference grows the
-prefix tensor every step (``torch.cat([input, word_tensor])``,
-generate.py:65 — a new shape each iteration, which under jit would mean
-one recompile per token): here the whole generation runs as ONE jitted
-``lax.scan`` over a fixed-length token buffer with static shapes —
-single compile, on-device ``jax.random.categorical`` sampling, no
-host round-trips inside the loop.  The causal mask makes positions
-beyond the write cursor invisible, so the fixed buffer is exact.
+TPU-idiomatic where the reference loops on the host: EVERY sampler here
+runs as ONE jitted ``lax.scan`` with static shapes — single compile,
+on-device ``jax.random.categorical`` sampling, no host round-trips
+inside the loop.  This is also the fast path for a second reason: XLA
+keeps scan-loop-invariant weights resident in VMEM (measured round 4:
+the 650/33278 LSTM generates at ~51k tokens/s in one scan vs ~7k
+dispatch-per-token with 9-bit packed streaming — the packed formats
+win only when the weights exceed VMEM, see PERF.md "Generation at
+VMEM residency").  The reference grows the prefix tensor every step
+(``torch.cat``, generate.py:65 — a new shape each iteration, one
+recompile per token under jit); the Transformer path instead decodes
+incrementally against a KV cache (``transformer_lm.decode_step``),
+exact under the causal mask.
 """
 
 from __future__ import annotations
@@ -27,51 +32,67 @@ from tq_tpu.data.wikitext import load_corpus
 from tq_tpu.models import lstm_lm
 
 
-def _sample_loop(step, hidden, vocab: int, words: int, temperature: float,
+def _sample_scan(fwd, hidden0, vocab: int, words: int, temperature: float,
                  seed: int):
-    """The reference's LSTM sampling loop (generate.py:66-70):
-    ``step(tok, hidden) -> (logp (1, vocab), hidden)``."""
+    """One-scan sampler: ``fwd(tok (1,1), hidden) -> (logp (1, vocab),
+    hidden)`` runs as one jitted lax.scan — single compile, weights
+    VMEM-resident across steps, on-device categorical sampling (the
+    reference divides logits by T then multinomial-samples,
+    generate.py:66-70 — ``categorical(logp / T)`` is the same
+    distribution)."""
     if temperature < 1e-3:
         raise ValueError("temperature has to be greater or equal 1e-3")
     rng = np.random.default_rng(seed)
-    tok = int(rng.integers(0, vocab))
-    out = []
-    for _ in range(words):
-        logp, hidden = step(jnp.asarray([[tok]]), hidden)
-        # logp is log-softmax; the reference divides *logits* by T then
-        # exponentiates — equivalent up to normalization.
-        w = np.exp(np.asarray(logp[0], np.float64) / temperature)
-        w /= w.sum()
-        tok = int(rng.choice(vocab, p=w))
-        out.append(tok)
-    return out
+    tok0 = jnp.full((1, 1), int(rng.integers(0, vocab)), jnp.int32)
+
+    @jax.jit
+    def run(tok0, hidden0, key):
+        def step(carry, key):
+            tok, hidden = carry
+            logp, hidden = fwd(tok, hidden)
+            tok = jax.random.categorical(
+                key, logp[0] / temperature).reshape(1, 1).astype(jnp.int32)
+            return (tok, hidden), tok[0, 0]
+
+        keys = jax.random.split(key, words)
+        _, toks = jax.lax.scan(step, (tok0, hidden0), keys)
+        return toks
+
+    toks = run(tok0, hidden0, jax.random.PRNGKey(seed))
+    return [int(t) for t in toks]
 
 
 def generate(params, vocab: int, words: int = 100, temperature: float = 1.0,
-             seed: int = 1111):
+             seed: int = 1111, cell: str = "LSTM"):
+    # Checkpoint loads give host numpy arrays; the scan traces the
+    # embedding lookup with a tracer index, so they must be on device.
+    params = jax.tree.map(jnp.asarray, params)
     nhid = params["rnn"][0]["w_hh"].shape[0]
-    hidden = lstm_lm.init_hidden(1, nhid=nhid, nlayers=len(params["rnn"]))
-    apply = jax.jit(lstm_lm.apply)
+    hidden = lstm_lm.init_hidden(1, nhid=nhid, nlayers=len(params["rnn"]),
+                                 cell=cell)
 
-    def step(tok, hidden):
-        return apply(params, tok, hidden)
+    def fwd(tok, hidden):
+        return lstm_lm.apply(params, tok, hidden, cell)
 
-    return _sample_loop(step, hidden, vocab, words, temperature, seed)
+    return _sample_scan(fwd, hidden, vocab, words, temperature, seed)
 
 
 def generate_tr(params, vocab: int, words: int = 100,
                 temperature: float = 1.0, seed: int = 1111,
-                tr=(8, 8, 24, 8, 8), pack_fmt: str | None = "u8s",
+                tr=(8, 8, 24, 8, 8), pack_fmt: str | None = None,
                 calib_stream=None, calib_chunks: int = 4):
     """Generate from the TR-quantized LSTM at serving speed.
 
     Converts at (wb, gs, wt, db, dt), calibrates the activation scales
     on a few bptt chunks of ``calib_stream`` (a batchified (T, B) token
     stream; the reference calibrates on the eval stream the same way,
-    evaluate_lstm.py:163), then samples with the decoder packed for
-    weight-HBM-bound token-by-token serving (``pack_fmt``: 'u8s' = the
-    9-bits/weight format, 'int' = int8/int16, None = term-revealed
-    fp32).
+    evaluate_lstm.py:163), then samples in one lax.scan.  ``pack_fmt``
+    None (default) keeps term-revealed fp32 weights — fastest when the
+    model fits VMEM (XLA pins scan-invariant weights there, PERF.md
+    round 4); 'u8s' (9 bits/weight) / 'int' (int8/int16) stream packed
+    weights from HBM through the fused kernel's in-VMEM decode — the
+    formats for models LARGER than VMEM, and for dispatch-per-token
+    serving.
     """
     wb, gs, wt, db, dt = tr
     qparams, qcfg, qstate = lstm_lm.convert(params, wb, gs, wt, db, dt)
@@ -98,7 +119,7 @@ def generate_tr(params, vocab: int, words: int = 100,
         return logp, hidden
 
     hidden0 = lstm_lm.init_hidden(1, nhid=nhid, nlayers=nlayers)
-    return _sample_loop(step, hidden0, vocab, words, temperature, seed)
+    return _sample_scan(step, hidden0, vocab, words, temperature, seed)
 
 
 def generate_transformer(params, vocab: int, words: int = 100,
@@ -146,6 +167,74 @@ def generate_transformer(params, vocab: int, words: int = 100,
     return [int(t) for t in toks]
 
 
+def generate_transformer_tr(params, vocab: int, words: int = 100,
+                            temperature: float = 1.0, seed: int = 1111,
+                            nhead: int = 2, tr=(8, 8, 24, 8, 8),
+                            pack_fmt: str | None = None,
+                            calib_stream=None, calib_chunks: int = 4):
+    """Sample from the TR-quantized Transformer at serving speed.
+
+    Same protocol as :func:`generate_tr`: convert at (wb, gs, wt, db,
+    dt), calibrate the activation scales on a few bptt chunks of
+    ``calib_stream``, pack every converted linear (out_proj / FFN pair /
+    decoder) into the 9-bit u8s or int formats, then run the whole
+    generation as ONE jitted lax.scan of KV-cache incremental decode
+    steps (``transformer_lm.decode_step``, exactness-tested against the
+    full forward).  One row per dense per token makes the step
+    weight-HBM-bound — the regime where the packed streams pay; the
+    reference's full-prefix re-forward (generate.py:60-65) is MXU-bound
+    instead and measured 0.35x on chip with the same packed weights.
+    """
+    if temperature < 1e-3:
+        raise ValueError("temperature has to be greater or equal 1e-3")
+    from tq_tpu.models import transformer_lm
+
+    wb, gs, wt, db, dt = tr
+    qparams, qcfg, qstate = transformer_lm.convert(params, wb, gs, wt,
+                                                   db, dt)
+    if calib_stream is not None:
+        from tq_tpu.evals.lstm import _chunks
+
+        track = transformer_lm.make_quantized_apply(qcfg, track=True,
+                                                    nhead=nhead)
+        for i, (x, _) in enumerate(_chunks(calib_stream)):
+            if i >= calib_chunks:
+                break
+            _, qstate = track(qparams, qstate, jnp.asarray(x))
+    qstate = transformer_lm.finalize(qstate, qcfg)
+    if pack_fmt is not None:
+        qparams = transformer_lm.pack(qparams, qcfg, fmt=pack_fmt)
+    qparams = jax.tree.map(jnp.asarray, qparams)
+
+    d = params["encoder"]["w"].shape[1]
+    nlayers = sum(1 for k in params if k.endswith(".linear1"))
+    L = words + 1
+    rng = np.random.default_rng(seed)
+    tok0 = jnp.full((1, 1), int(rng.integers(0, vocab)), jnp.int32)
+
+    @jax.jit
+    def run(qparams, qstate, tok0, key):
+        cache = transformer_lm.decode_init_cache(L, 1, d, nhead, nlayers)
+
+        def step(carry, key_n):
+            tok, cache = carry
+            key, n = key_n
+            logp, cache = transformer_lm.decode_step(
+                qparams, tok, n, cache, nhead=nhead, qcfg=qcfg,
+                qstate=qstate)
+            tok = jax.random.categorical(
+                key, logp[0] / temperature).reshape(1, 1).astype(jnp.int32)
+            return (tok, cache), tok[0, 0]
+
+        keys = jax.random.split(key, words)
+        _, toks = jax.lax.scan(step, (tok0, cache),
+                               (keys, jnp.arange(words)))
+        return toks
+
+    toks = run(qparams, qstate, tok0, jax.random.PRNGKey(seed))
+    return [int(t) for t in toks]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="pretrained/lstm.npz")
@@ -160,9 +249,12 @@ def main(argv=None):
     ap.add_argument("--tr", type=int, nargs=5, default=None,
                     metavar=("WB", "GS", "WT", "DB", "DT"),
                     help="generate from the TR-quantized model at this "
-                         "setting (LSTM only)")
-    ap.add_argument("--pack", default="u8s", choices=["u8s", "int", "none"],
-                    help="decoder weight format for --tr serving")
+                         "setting (LSTM or Transformer)")
+    ap.add_argument("--pack", default="none", choices=["u8s", "int", "none"],
+                    help="weight format for --tr serving: none (fp32 "
+                         "fake-quant, VMEM-resident in the scan — "
+                         "fastest when the model fits), u8s/int "
+                         "(packed HBM streaming for larger models)")
     a = ap.parse_args(argv)
 
     corpus, source = load_corpus(a.data)
@@ -172,9 +264,19 @@ def main(argv=None):
     params = load_params(a.checkpoint)
     if a.model == "Transformer":
         if a.tr is not None:
-            raise SystemExit("--tr is LSTM-only for now")
-        toks = generate_transformer(params, vocab, a.words, a.temperature,
-                                    a.seed, nhead=a.nhead)
+            from tq_tpu.data.wikitext import batchify
+            from tq_tpu.evals.lstm import EVAL_BATCH
+
+            stream = batchify(np.asarray(corpus.test), EVAL_BATCH)
+            toks = generate_transformer_tr(
+                params, vocab, a.words, a.temperature, a.seed,
+                nhead=a.nhead, tr=tuple(a.tr),
+                pack_fmt=None if a.pack == "none" else a.pack,
+                calib_stream=stream)
+        else:
+            toks = generate_transformer(params, vocab, a.words,
+                                        a.temperature, a.seed,
+                                        nhead=a.nhead)
     elif a.tr is not None:
         from tq_tpu.data.wikitext import batchify
         from tq_tpu.evals.lstm import EVAL_BATCH
@@ -185,7 +287,8 @@ def main(argv=None):
                            pack_fmt=None if a.pack == "none" else a.pack,
                            calib_stream=stream)
     else:
-        toks = generate(params, vocab, a.words, a.temperature, a.seed)
+        toks = generate(params, vocab, a.words, a.temperature, a.seed,
+                        cell=lstm_lm.infer_cell(params))
     with open(a.outf, "w") as f:
         for i, t in enumerate(toks):
             word = (corpus.dictionary.idx2word[t]

@@ -32,6 +32,7 @@ from tq_tpu.layers.linear import (
 )
 
 __all__ = ["init", "apply", "apply_train", "convert",
+           "decode_init_cache", "decode_step",
            "make_quantized_apply", "make_tp_quantized_apply", "finalize",
            "pack"]
 
@@ -153,6 +154,78 @@ def apply(params, tokens, nhead: int = 2, qcfg=None, qstate=None,
     if qcfg is not None:
         return logp, new_state
     return logp
+
+
+def decode_init_cache(L: int, batch: int, emsize: int, nhead: int,
+                      nlayers: int):
+    """KV cache for incremental decoding: per layer, (B, nhead, L, hd)
+    key/value buffers written in place at the step position."""
+    hd = emsize // nhead
+    z = jnp.zeros((nlayers, batch, nhead, L, hd), jnp.float32)
+    return {"k": z, "v": z}
+
+
+def decode_step(params, tok, pos, cache, nhead: int = 2, qcfg=None,
+                qstate=None):
+    """One incremental decoding step: (1, B) token at position ``pos``
+    -> ((B, vocab) log-probs, updated cache).
+
+    The reference's generation loop re-runs the FULL prefix per token
+    (generate.py:60-65) — O(n) matmul rows per step, which makes
+    generation MXU-bound and hides any weight-format win.  Incremental
+    decoding computes q/k/v for the new position only and attends
+    against the cache, so each step is one row per dense — weight-HBM
+    -bound, exactly where the 9-bit packed streams pay (the same
+    regime as LSTM generation, PERF.md).  Exactness: post-LN
+    transformer layers mix positions only through causally-masked
+    attention, so the incremental logits equal the full-prefix
+    forward's logits at ``pos`` (asserted in
+    test_transformer_lm.py::test_decode_step_matches_full_prefix).
+    """
+    d = params["encoder"]["w"].shape[1]
+    nlayers = sum(1 for k in params if k.endswith(".linear1"))
+    hd = d // nhead
+    L = cache["k"].shape[3]
+    B = tok.shape[1]
+
+    def dense(name, x):
+        p = params[name]
+        if qcfg is not None and name in qcfg:
+            y, _ = tr_dense_apply(p, qcfg[name], qstate[name], x, False)
+            return y
+        return jnp.dot(x, p["w"]) + p["b"]
+
+    pe = _positional_encoding(L, d)
+    h = (params["encoder"]["w"][tok] * math.sqrt(d)
+         + jax.lax.dynamic_slice_in_dim(pe, pos, 1, 0)[None, 0])  # (1,B,d)
+    for i, pre in _layer_names(nlayers):
+        proj = params[f"{pre}.self_attn.in_proj"]
+        qkv = jnp.dot(h, proj["w"]) + proj["b"]  # (1, B, 3d)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):  # (1, B, d) -> (B, nhead, 1, hd)
+            return t.reshape(B, nhead, hd)[:, :, None, :]
+
+        q, k, v = heads(q), heads(k), heads(v)
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], k[None], (i, 0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], v[None], (i, 0, 0, pos, 0))
+        cache = {"k": ck, "v": cv}
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, ck[i]) / math.sqrt(hd)
+        live = jnp.arange(L) <= pos  # causal: cache beyond pos invisible
+        scores = jnp.where(live[None, None, None, :], scores, -jnp.inf)
+        attn = jax.nn.softmax(scores, axis=-1)
+        a = jnp.einsum("bhts,bhsd->bhtd", attn, cv[i])  # (B, nhead, 1, hd)
+        a = a.reshape(1, B, d)
+        a = dense(f"{pre}.self_attn.out_proj", a.reshape(B, d)).reshape(
+            1, B, d)
+        h = _layer_norm(params[f"{pre}.norm1"], h + a)
+        f2 = dense(f"{pre}.linear2",
+                   jax.nn.relu(dense(f"{pre}.linear1", h.reshape(B, d))))
+        h = _layer_norm(params[f"{pre}.norm2"], h + f2.reshape(1, B, d))
+    logits = dense("decoder", h.reshape(B, d))
+    return jax.nn.log_softmax(logits, axis=-1), cache
 
 
 def apply_train(params, tokens, rng, nhead: int = 2, dropout: float = 0.2):
