@@ -163,11 +163,13 @@ def eval_setting(
     qstate = finalize_cnn(qstate, qcfg)
 
     eval_fwd = make_cnn_apply(m, qcfg, track=False)
-    correct = 0
+    # Device-side accumulator: a per-batch int() would host-sync every
+    # batch (~30 ms RTT each on the tunneled chip); fetch once at the end.
+    correct = jnp.int32(0)
     for x, y in batches:
         logits, _ = eval_fwd(qparams, qstate, shard_batch(jnp.asarray(x), mesh))
-        correct += int(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
-    acc = 100.0 * correct / total
+        correct = correct + jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y))
+    acc = 100.0 * int(correct) / total
     return acc, tmacs, avg_terms, n_params
 
 

@@ -22,6 +22,7 @@ import json
 import math
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,14 +45,46 @@ def _run_epoch(fwd, qparams, qstate, stream, vocab, update_state: bool,
                cell: str = "LSTM"):
     """One pass over the stream; returns (mean NLL per token, qstate).
 
-    Chunks shorter than bptt (the tail) hit a fresh jit specialization;
-    static shapes per length, at most 2 programs.
+    The full-length chunks run as ONE jitted ``lax.scan`` over the
+    (n_chunks, bptt, B) stream: a single dispatch for the whole epoch,
+    and — the real win — XLA keeps the scan-loop-invariant weights
+    VMEM-resident instead of re-streaming them from HBM per chunk
+    (PERF.md "Generation at VMEM residency"; the eval path re-reads the
+    650x33278 decoder every chunk otherwise).  The tail chunk (shorter
+    than bptt) runs as one extra dispatch; at most 2 programs total.
     """
     total_loss = 0.0
     nhid = qparams["rnn"][0]["w_hh"].shape[0]
     hidden = lstm_lm.init_hidden(EVAL_BATCH, nhid=nhid,
                                  nlayers=len(qparams["rnn"]), cell=cell)
-    for x, y in _chunks(stream):
+    n_chunks = (len(stream) - 1) // BPTT
+    if n_chunks:
+        B = stream.shape[1]
+        X = jnp.asarray(
+            stream[: n_chunks * BPTT].reshape(n_chunks, BPTT, B))
+        Y = jnp.asarray(
+            stream[1 : n_chunks * BPTT + 1].reshape(n_chunks, BPTT * B))
+
+        @jax.jit
+        def epoch(qparams, qstate, hidden, X, Y):
+            def step(carry, xy):
+                hidden, qstate, tot = carry
+                x, y = xy
+                logp, hidden, new_qs = fwd(qparams, qstate, x, hidden)
+                if update_state:
+                    qstate = new_qs
+                nll = -jnp.take_along_axis(
+                    logp, y[:, None], axis=1).mean()
+                return (hidden, qstate, tot + BPTT * nll), None
+
+            (hidden, qstate, tot), _ = jax.lax.scan(
+                step, (hidden, qstate, jnp.float32(0.0)), (X, Y))
+            return hidden, qstate, tot
+
+        hidden, qstate, tot = epoch(qparams, qstate, hidden, X, Y)
+        total_loss += float(tot)
+    # Tail chunk (if the stream length - 1 is not a bptt multiple).
+    for x, y in _chunks(stream[n_chunks * BPTT :]):
         logp, hidden, new_qs = fwd(
             qparams, qstate, jnp.asarray(x), hidden
         )

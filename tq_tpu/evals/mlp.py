@@ -72,12 +72,14 @@ def evaluate_setting(
 
     # Phase 2: full evaluation.
     eval_fwd = mlp.make_quantized_apply(qcfg, track=False)
-    correct = 0
+    # Device-side accumulator: a per-batch int() would host-sync every
+    # batch (~30 ms RTT each on the tunneled chip); fetch once at the end.
+    correct = jnp.int32(0)
     for i in range(0, len(order), batch_size):
         idx = order[i : i + batch_size]
         logp, _ = eval_fwd(qparams, qstate, jnp.asarray(x_test[idx]))
-        correct += int(jnp.sum(jnp.argmax(logp, -1) == jnp.asarray(y_test[idx])))
-    acc = 100.0 * correct / len(y_test)
+        correct = correct + jnp.sum(jnp.argmax(logp, -1) == jnp.asarray(y_test[idx]))
+    acc = 100.0 * int(correct) / len(y_test)
 
     # Profile (shape-based; batch=1 like evaluate_mlp.py:88 intends).
     layer_trs = [

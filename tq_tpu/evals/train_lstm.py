@@ -113,7 +113,9 @@ def _train_step_transformer(params, tokens, targets, rng, lr,
 
 def evaluate(params, stream, bptt: int = 35, model: str = "LSTM",
              nhead: int = 2):
-    total = 0.0
+    # Device-side loss accumulator: a per-chunk float() would host-sync
+    # every chunk (~30 ms RTT each on the tunneled chip).
+    total = jnp.float32(0.0)
     if model == "Transformer":
         from tq_tpu.models import transformer_lm
 
@@ -131,10 +133,9 @@ def evaluate(params, stream, bptt: int = 35, model: str = "LSTM",
             logp = fwd(params, x)
         else:
             logp, hidden = fwd(params, x, hidden)
-        total += seq * float(
-            -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
-        )
-    return total / (len(stream) - 1)
+        total = total + seq * -jnp.take_along_axis(
+            logp, y[:, None], axis=1).mean()
+    return float(total) / (len(stream) - 1)
 
 
 def train(epochs: int = 40, batch_size: int = 20, bptt: int = 35,
