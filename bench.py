@@ -498,11 +498,13 @@ def bench_generate() -> dict:
     by convert; the tied transpose would otherwise cost the fp32 side
     its VMEM pinning).
 
-    Secondary fields keep the round-3 mode measurable: dispatch-per-
-    token with the 9-bit packed weight streams (``dispatch_u8s`` /
-    ``dispatch_fp32`` tokens/s, roofline fields against the same-run
-    copy ceiling) — the regime that matters when weights exceed VMEM
-    or tokens are served one dispatch at a time."""
+    Secondary fields: ``batch64_tokens_per_s`` is the same scan sampler
+    at batch 64 (throughput serving — per-step weight cost is already
+    zero, so tokens/s scales with batch until the decoder fills the
+    MXU); ``dispatch_u8s`` keeps the round-3 dispatch-per-token packed
+    mode measurable (roofline fields against the same-run copy
+    ceiling) — the regime that matters when weights exceed VMEM or
+    tokens are served one dispatch at a time."""
     from tq_tpu.models import lstm_lm
 
     params = lstm_lm.init(jax.random.PRNGKey(0))
@@ -545,6 +547,37 @@ def bench_generate() -> dict:
     t_scan_q = scan_rate(True)
     t_scan_f = scan_rate(False)
 
+    # Throughput serving: the same one-scan sampler at batch 64 — the
+    # per-step weight cost is already zero (VMEM-resident), so tokens/s
+    # scales with batch until the decoder matmul fills the MXU.
+    BATCH = 64
+    h0_b = lstm_lm.init_hidden(BATCH)
+
+    @jax.jit
+    def run_b(p, qs, tok0):
+        def step(carry, _):
+            tok, hidden = carry
+            logp, hidden, _ = fwd_q(p, qs, tok, hidden)
+            tok = jnp.argmax(logp.reshape(1, BATCH, -1)[-1], -1)[
+                None, :].astype(jnp.int32)
+            return (tok, hidden), ()
+
+        (tok, _), _ = jax.lax.scan(step, (tok0, h0_b), None, length=WORDS)
+        return tok
+
+    def chain_b(k):
+        tok = jnp.zeros((1, BATCH), jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(k):
+            tok = run_b(qparams, qstate, tok)
+        int(tok[0, 0])
+        return time.perf_counter() - t0
+
+    chain_b(1)  # compile
+    tb1 = min(chain_b(2) for _ in range(3))
+    tb2 = min(chain_b(4) for _ in range(3))
+    t_scan_b = max(tb2 - tb1, 1e-9) / (2 * WORDS)
+
     # --- round-3 mode: dispatch per token, packed streams ---
     def build_step(p):
         @jax.jit
@@ -586,6 +619,7 @@ def bench_generate() -> dict:
         "value": round(1.0 / t_scan_q, 1),
         "unit": "tokens/s",
         "vs_baseline": round(t_scan_f / t_scan_q, 3),
+        "batch64_tokens_per_s": round(BATCH / t_scan_b, 1),
         "resident_mb": round(resident_mb, 1),
         "dispatch_u8s": round(1.0 / t_u8s, 1),
         "stream_gbs": round(stream, 1),
