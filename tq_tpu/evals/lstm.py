@@ -140,7 +140,9 @@ def evaluate_setting_transformer(params, wb, wt, db, dt, gs, stream, vocab,
 
     qparams, qcfg, qstate = transformer_lm.convert(params, wb, gs, wt, db, dt)
     track = transformer_lm.make_quantized_apply(qcfg, track=True)
-    total_loss = 0.0
+    # Device-side loss accumulator (one host fetch per epoch, not per
+    # chunk — ~30 ms RTT each on the tunneled chip).
+    total_loss = jnp.float32(0.0)
     for x, y in _chunks(stream, bptt):
         _, qstate = track(qparams, qstate, jnp.asarray(x))
     qstate = transformer_lm.finalize(qstate, qcfg)
@@ -149,8 +151,8 @@ def evaluate_setting_transformer(params, wb, wt, db, dt, gs, stream, vocab,
         logp, _ = ev(qparams, qstate, jnp.asarray(x))
         nll = -jnp.take_along_axis(
             logp, jnp.asarray(y)[:, None], axis=1).mean()
-        total_loss += len(x) * float(nll)
-    ppl = math.exp(total_loss / (len(stream) - 1))
+        total_loss = total_loss + len(x) * nll
+    ppl = math.exp(float(total_loss) / (len(stream) - 1))
 
     tr = TRParams(wb, gs, wt, db, dt)
     tmacs = 0
