@@ -73,6 +73,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 
 
+import os as _os
+
+# Congestion fast mode (set by _run_suite when the first metric runs
+# pathologically slow): shorter chains / fewer reps everywhere — the
+# values get noisier, but every metric fits the budget.
+_FAST = _os.environ.get("TQ_BENCH_FAST") == "1"
+
+
+def _fast_iters(n: int, lo: int = 12) -> int:
+    return max(lo, n // 3) if _FAST else n
+
+
 def _slope_time(step_fn, x, iters=100):
     """Per-iteration seconds of ``step_fn(x, sf)`` chained on device.
 
@@ -84,6 +96,8 @@ def _slope_time(step_fn, x, iters=100):
     Slightly varying scale factors defeat result memoization and keep
     the chain off fixed points.
     """
+    iters = _fast_iters(iters)
+    reps = 2 if _FAST else 3
     total = jax.jit(jnp.sum)
     sfs = [jnp.float32(0.02 * (1.0 + 1e-4 * i)) for i in range(iters)]
 
@@ -96,8 +110,8 @@ def _slope_time(step_fn, x, iters=100):
         return time.perf_counter() - t0
 
     timed(1)  # compile
-    t1 = min(timed(1) for _ in range(3))
-    tn = min(timed(iters) for _ in range(3))
+    t1 = min(timed(1) for _ in range(reps))
+    tn = min(timed(iters) for _ in range(reps))
     return max(tn - t1, 1e-9) / (iters - 1)
 
 
@@ -112,6 +126,9 @@ def _slope_time_scalar(step_fn, x, iters=64):
     while adding only an (M, N) reduction per link.
     """
 
+    iters = _fast_iters(iters)
+    reps = 2 if _FAST else 3
+
     @jax.jit
     def link(x, s):
         return jnp.mean(step_fn(x, jnp.float32(0.02) * (1.0 + 1e-6 * s)))
@@ -125,8 +142,8 @@ def _slope_time_scalar(step_fn, x, iters=64):
         return time.perf_counter() - t0
 
     timed(2)  # compile + warm
-    t1 = min(timed(1) for _ in range(3))
-    tn = min(timed(iters) for _ in range(3))
+    t1 = min(timed(1) for _ in range(reps))
+    tn = min(timed(iters) for _ in range(reps))
     return max(tn - t1, 1e-9) / (iters - 1)
 
 
@@ -146,13 +163,15 @@ def _copy_ceiling(x, iters: int = 200) -> float:
     return x.size * x.dtype.itemsize * 2 / t / 1e9
 
 
-def bench_quantize(chains: int = 3) -> dict:
+def bench_quantize(chains: int | None = None) -> dict:
     """Fused tr_quantize bandwidth; median + min/max over ``chains``
     independent slope measurements (run-to-run spread on a shared chip
     is the dominant noise source — VERDICT r1 weak #1)."""
     from tq_tpu.kernels.tr_quantize import tr_quantize
     from tq_tpu.ops.term_reveal import term_reveal
 
+    if chains is None:
+        chains = 2 if _FAST else 3
     on_tpu = jax.default_backend() == "tpu"
     # ResNet-18-scale activation tensor: batch 64 of stage-2 feature maps.
     shape = (64, 56, 56, 64)
@@ -373,7 +392,7 @@ def bench_lstm() -> dict:
         _, h = fp32(params, tokens, h)
         return h
 
-    iters = 30
+    iters = _fast_iters(30, lo=10)
     for step in (q_step, f_step):
         timed(step, 1)  # compile
     t_q = (min(timed(q_step, iters) for _ in range(3))
@@ -433,9 +452,10 @@ def bench_lstm() -> dict:
             return time.perf_counter() - t0
 
         chain(1)  # compile
-        tk1 = min(chain(3) for _ in range(3))
-        tk2 = min(chain(9) for _ in range(3))
-        return max(tk2 - tk1, 1e-9) / (6 * n_chunks)
+        ka, kb, reps = (2, 5, 2) if _FAST else (3, 9, 3)
+        tk1 = min(chain(ka) for _ in range(reps))
+        tk2 = min(chain(kb) for _ in range(reps))
+        return max(tk2 - tk1, 1e-9) / ((kb - ka) * n_chunks)
 
     t_scan = scan_rate(True)
     t_scan_f = scan_rate(False)
@@ -464,6 +484,8 @@ def _chain_rate(runner, words: int, k1: int = 6, k2: int = 12,
     RTT — so RTT, dispatch, and one-time loads cancel.  k1*device must
     exceed RTT; at < ~100 us/token and words=288 that holds from k1=6
     (device >= ~35 ms)."""
+    if _FAST:
+        k1, k2, reps = max(2, k1 // 2), max(3, k2 // 2), 2
 
     def chain(k):
         tok = jnp.zeros((1, 1), jnp.int32)
@@ -574,8 +596,9 @@ def bench_generate() -> dict:
         return time.perf_counter() - t0
 
     chain_b(1)  # compile
-    tb1 = min(chain_b(2) for _ in range(3))
-    tb2 = min(chain_b(4) for _ in range(3))
+    reps_b = 2 if _FAST else 3
+    tb1 = min(chain_b(2) for _ in range(reps_b))
+    tb2 = min(chain_b(4) for _ in range(reps_b))
     t_scan_b = max(tb2 - tb1, 1e-9) / (2 * WORDS)
 
     # --- round-3 mode: dispatch per token, packed streams ---
@@ -588,7 +611,8 @@ def bench_generate() -> dict:
 
         return lambda tok, hidden: step(p, qstate, tok, hidden)
 
-    def per_token(step, iters=30):
+    def per_token(step, iters=None):
+        iters = iters or _fast_iters(30, lo=10)
         def run(n):
             tok, hidden = tok0, h0
             t0 = time.perf_counter()
@@ -844,6 +868,13 @@ def _run_suite() -> int:
 
     budget = float(os.environ.get("TQ_BENCH_BUDGET_S", "1200"))
     metric_cap = float(os.environ.get("TQ_BENCH_METRIC_S", "600"))
+    # Congestion adaptation: if the FIRST metric (normally ~40-170 s)
+    # exceeds this, the tunnel's enqueue rate has collapsed (observed:
+    # the same warm-cache metric at 577 s) — flip TQ_BENCH_FAST=1 for
+    # the remaining subprocesses so shorter chains keep every metric
+    # inside the budget (noisier values beat budget-skips).
+    fast_thresh = float(os.environ.get("TQ_BENCH_FAST_THRESH_S", "300"))
+    child_env = dict(os.environ)
     cache_dir = "/tmp/tq_jax_cache"
     t_start = time.perf_counter()
 
@@ -870,7 +901,7 @@ def _run_suite() -> int:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *argv],
-                capture_output=True, text=True,
+                capture_output=True, text=True, env=child_env,
                 timeout=min(metric_cap, remaining),
             )
             line = None
@@ -912,6 +943,14 @@ def _run_suite() -> int:
             "entries_before": entries0, "entries_after": _cache_entries(),
         }), file=sys.stderr, flush=True)
         printed += 1
+        secs_m = time.perf_counter() - t_m
+        if (printed == 1 and secs_m > fast_thresh
+                and child_env.get("TQ_BENCH_FAST") != "1"):
+            child_env["TQ_BENCH_FAST"] = "1"
+            print(json.dumps({
+                "event": "congested_window", "first_metric_s":
+                round(secs_m, 1), "action": "TQ_BENCH_FAST=1",
+            }), file=sys.stderr, flush=True)
     return printed
 
 
