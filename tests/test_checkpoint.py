@@ -74,3 +74,30 @@ def test_packed_weight_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(wp.lo), w2.lo)
     np.testing.assert_array_equal(np.asarray(wp.signs), w2.signs)
     np.testing.assert_array_equal(np.asarray(wp.w_sf), w2.w_sf)
+
+
+def test_npz_meta_and_store_dtype_marker(tmp_path):
+    """ADVICE r4 #5 + #1: the store-dtype marker distinguishes
+    narrowed-storage floats from genuine float16 params, and the meta
+    side-channel carries the model family."""
+    p16 = tmp_path / "narrow.npz"
+    save_params(p16, _tree(), store_dtype=np.float16,
+                meta={"model": "RNN_RELU"})
+    back, meta = load_params(p16, with_meta=True)
+    # Narrowed storage widens back to f32.
+    assert back["enc"]["w"].dtype == np.float32
+    assert meta["model"] == "RNN_RELU"
+    assert meta["store_dtype"] == "float16"
+
+    # Genuinely-f16 params (compute dtype) keep their dtype: the
+    # marker says storage was NOT narrowed.
+    pf = tmp_path / "f16.npz"
+    tree = {"w": jnp.ones((2, 2), jnp.float16)}
+    save_params(pf, tree)
+    back = load_params(pf)
+    assert back["w"].dtype == np.float16
+
+    # Legacy files (no marker) keep the old widen-f16 convention.
+    pl = tmp_path / "legacy.npz"
+    np.savez(pl, w=np.ones((2, 2), np.float16))
+    assert load_params(pl)["w"].dtype == np.float32

@@ -180,3 +180,48 @@ def test_mlp_state_dict_import(rng):
         ref = F.log_softmax(fc3(t), dim=1).numpy()
     out = mlp.apply(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("tied", [False, True])
+def test_untied_lm_matches_torch(rng, tied):
+    """Full RNNModel forward parity, UNTIED decoder included — the
+    reference's *default* is untied (main.py:36-37 makes --tied
+    opt-in); VERDICT r4 next #6.  Builds the reference architecture
+    (Embedding -> 2-layer LSTM -> Linear) in torch, imports the
+    state_dict, and compares log-probs."""
+    from tq_tpu.models import lstm_lm
+    from tq_tpu.utils.torch_import import from_state_dict
+
+    V, E, H, L, T, B = 37, 12, 12, 2, 5, 3
+    torch.manual_seed(0)
+    emb = torch.nn.Embedding(V, E)
+    rnn = torch.nn.LSTM(E, H, num_layers=L)
+    dec = torch.nn.Linear(H, V)
+    if tied:
+        dec.weight = emb.weight  # reference model.py:28-34
+    for m in (emb, rnn, dec):
+        m.eval()
+
+    params = {
+        "encoder": {"w": jnp.asarray(emb.weight.detach().numpy())},
+        "rnn": [
+            {k: jnp.asarray(v) for k, v in layer.items()}
+            for layer in from_state_dict(
+                {f"rnn.{k}": v for k, v in rnn.state_dict().items()})["rnn"]
+        ],
+        "decoder": (
+            {"b": jnp.asarray(dec.bias.detach().numpy())} if tied else
+            {"w": jnp.asarray(dec.weight.detach().numpy().T),
+             "b": jnp.asarray(dec.bias.detach().numpy())}
+        ),
+    }
+    toks = rng.integers(0, V, (T, B))
+    h0 = np.zeros((L, B, H), np.float32)
+    c0 = np.zeros((L, B, H), np.float32)
+    with torch.no_grad():
+        e = emb(torch.from_numpy(toks))
+        out, _ = rnn(e, (torch.from_numpy(h0), torch.from_numpy(c0)))
+        ref = torch.log_softmax(dec(out.reshape(T * B, H)), dim=-1)
+    logp, _ = lstm_lm.apply(params, jnp.asarray(toks),
+                            (jnp.asarray(h0), jnp.asarray(c0)))
+    np.testing.assert_allclose(np.asarray(logp), ref.numpy(), atol=1e-5)

@@ -108,3 +108,39 @@ def test_evaluate_matches_models():
 def test_models_list_matches_reference():
     assert set(MODELS) == {"LSTM", "GRU", "RNN_TANH", "RNN_RELU",
                            "Transformer"}
+
+
+def test_untied_training_and_fidelity_flags(tmp_path, capsys):
+    """Reference-default UNTIED training (main.py:36-37) with the
+    fidelity knobs --clip/--seed/--log-interval threaded through
+    (VERDICT r4 next #6): the decoder materializes its own weight,
+    training improves it, and the checkpoint records the family."""
+    from tq_tpu.utils.checkpoint import load_params
+
+    root = _tiny_corpus(tmp_path)
+    save = tmp_path / "untied.npz"
+    params, best_val = train(
+        epochs=2, batch_size=4, bptt=8, lr=5.0, dropout=0.0, seed=7,
+        data_dir=root, save_path=save, emsize=16, nhid=16, nlayers=1,
+        verbose=False, model="LSTM", tied=False, clip=0.5, log_interval=5,
+    )
+    assert "w" in params["decoder"]  # untied: own decoder weight
+    assert params["decoder"]["w"].shape == (16, 31)
+    assert best_val < math.log(31) - 0.05
+    back, meta = load_params(save, with_meta=True)
+    assert "w" in back["decoder"] and meta["model"] == "LSTM"
+    assert "| ppl " in capsys.readouterr().out  # log-interval lines
+
+
+def test_generate_tr_threads_cell(tmp_path):
+    """generate_tr on a GRU checkpoint (ADVICE r4 #2: used to
+    hard-code LSTM and crash on gate-shape broadcast)."""
+    import jax
+
+    from tq_tpu.evals.generate import generate_tr
+    from tq_tpu.models import lstm_lm
+
+    params = lstm_lm.init(jax.random.PRNGKey(0), vocab=31, emsize=16,
+                          nhid=16, nlayers=2, cell="GRU")
+    toks = generate_tr(params, 31, words=12, tr=(8, 8, 24, 8, 8))
+    assert len(toks) == 12 and all(0 <= t < 31 for t in toks)

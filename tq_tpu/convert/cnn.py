@@ -120,13 +120,17 @@ def pack_cnn(qparams, qcfg):
     int16 (streamed + dequantized on the fly); 16-bit exempt layers
     (depthwise/SE policy rows) stay fp32.  Returns new qparams.
     """
+    from tq_tpu.kernels.term_matmul import flush_pack_checks
     from tq_tpu.layers.conv import pack_conv_weights
 
     out = dict(qparams)
+    checks: list = []  # ONE host sync for the whole model (congested-
+    # tunnel resilience: per-tensor syncs cost minutes, BENCH_r04)
     for name, tr in qcfg.items():
         if tr.weight_bits > 15:
             continue
-        out[name] = pack_conv_weights(qparams[name], tr)
+        out[name] = pack_conv_weights(qparams[name], tr, checks=checks)
+    flush_pack_checks(checks)
     return out
 
 

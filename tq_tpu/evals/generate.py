@@ -80,8 +80,9 @@ def generate(params, vocab: int, words: int = 100, temperature: float = 1.0,
 def generate_tr(params, vocab: int, words: int = 100,
                 temperature: float = 1.0, seed: int = 1111,
                 tr=(8, 8, 24, 8, 8), pack_fmt: str | None = None,
-                calib_stream=None, calib_chunks: int = 4):
-    """Generate from the TR-quantized LSTM at serving speed.
+                calib_stream=None, calib_chunks: int = 4,
+                cell: str | None = None):
+    """Generate from the TR-quantized recurrent LM at serving speed.
 
     Converts at (wb, gs, wt, db, dt), calibrates the activation scales
     on a few bptt chunks of ``calib_stream`` (a batchified (T, B) token
@@ -93,9 +94,16 @@ def generate_tr(params, vocab: int, words: int = 100,
     weights from HBM through the fused kernel's in-VMEM decode — the
     formats for models LARGER than VMEM, and for dispatch-per-token
     serving.
+
+    ``cell``: LSTM / GRU / RNN_TANH / RNN_RELU; None infers it from the
+    gate shapes (ADVICE r4 #2 — this path used to hard-code LSTM and
+    fail on GRU/RNN checkpoints with an opaque broadcast error).
     """
     wb, gs, wt, db, dt = tr
-    qparams, qcfg, qstate = lstm_lm.convert(params, wb, gs, wt, db, dt)
+    if cell is None:
+        cell = lstm_lm.infer_cell(params)
+    qparams, qcfg, qstate = lstm_lm.convert(params, wb, gs, wt, db, dt,
+                                            cell=cell)
     nhid = qparams["rnn"][0]["w_hh"].shape[0]
     nlayers = len(qparams["rnn"])
     if calib_stream is not None:
@@ -103,7 +111,7 @@ def generate_tr(params, vocab: int, words: int = 100,
 
         track = lstm_lm.make_quantized_apply(qcfg, track=True)
         hidden = lstm_lm.init_hidden(calib_stream.shape[1], nhid=nhid,
-                                     nlayers=nlayers)
+                                     nlayers=nlayers, cell=cell)
         for i, (x, _) in enumerate(_chunks(calib_stream)):
             if i >= calib_chunks:
                 break
@@ -118,7 +126,7 @@ def generate_tr(params, vocab: int, words: int = 100,
         logp, hidden, _ = fwd(qparams, qstate, tok, hidden)
         return logp, hidden
 
-    hidden0 = lstm_lm.init_hidden(1, nhid=nhid, nlayers=nlayers)
+    hidden0 = lstm_lm.init_hidden(1, nhid=nhid, nlayers=nlayers, cell=cell)
     return _sample_scan(step, hidden0, vocab, words, temperature, seed)
 
 
@@ -241,6 +249,14 @@ def main(argv=None):
     ap.add_argument("--data", default=None)
     ap.add_argument("--model", default="LSTM",
                     choices=["LSTM", "Transformer"])
+    ap.add_argument("--cell", default=None,
+                    choices=["LSTM", "GRU", "RNN_TANH", "RNN_RELU"],
+                    help="recurrent cell family of the checkpoint; "
+                         "default: the checkpoint's own 'model' "
+                         "metadata, else inferred from gate shapes "
+                         "(which can NOT tell RNN_TANH from RNN_RELU — "
+                         "pass this for relu checkpoints without "
+                         "metadata, ADVICE r4 #1)")
     ap.add_argument("--nhead", type=int, default=2)
     ap.add_argument("--words", type=int, default=100)
     ap.add_argument("--temperature", type=float, default=1.0)
@@ -261,7 +277,12 @@ def main(argv=None):
     vocab = len(corpus.dictionary.idx2word)
     from tq_tpu.utils.checkpoint import load_params
 
-    params = load_params(a.checkpoint)
+    params, meta = load_params(a.checkpoint, with_meta=True)
+    # Cell resolution: explicit flag > checkpoint metadata > gate-shape
+    # inference (which defaults the G=1 tie to tanh).
+    meta_model = meta.get("model")
+    cell = a.cell or (meta_model if meta_model in
+                      ("LSTM", "GRU", "RNN_TANH", "RNN_RELU") else None)
     if a.model == "Transformer":
         if a.tr is not None:
             from tq_tpu.data.wikitext import batchify
@@ -285,10 +306,10 @@ def main(argv=None):
         toks = generate_tr(params, vocab, a.words, a.temperature, a.seed,
                            tr=tuple(a.tr),
                            pack_fmt=None if a.pack == "none" else a.pack,
-                           calib_stream=stream)
+                           calib_stream=stream, cell=cell)
     else:
         toks = generate(params, vocab, a.words, a.temperature, a.seed,
-                        cell=lstm_lm.infer_cell(params))
+                        cell=cell or lstm_lm.infer_cell(params))
     with open(a.outf, "w") as f:
         for i, t in enumerate(toks):
             word = (corpus.dictionary.idx2word[t]

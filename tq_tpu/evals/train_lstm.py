@@ -70,12 +70,12 @@ def _apply_train(params, tokens, hidden, rng, dropout: float,
     return jax.nn.log_softmax(logits, -1), new_hidden
 
 
-def _sgd_clip_update(params, grads, lr):
-    """Global-norm clip at 0.25 (main.py:179) then manual SGD
-    ``p.data.add_(-lr, grad)`` (main.py:180-181)."""
+def _sgd_clip_update(params, grads, lr, clip):
+    """Global-norm clip (main.py:179, ``--clip`` default 0.25) then
+    manual SGD ``p.data.add_(-lr, grad)`` (main.py:180-181)."""
     gnorm = jnp.sqrt(sum(jnp.sum(g * g)
                          for g in jax.tree_util.tree_leaves(grads)))
-    scale = jnp.minimum(1.0, 0.25 / (gnorm + 1e-6))
+    scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
     return jax.tree_util.tree_map(
         lambda p, g: (p - lr * scale * g).astype(p.dtype)
         if jnp.issubdtype(p.dtype, jnp.floating) else p,
@@ -84,7 +84,7 @@ def _sgd_clip_update(params, grads, lr):
 
 @functools.partial(jax.jit, static_argnames=("dropout", "cell"),
                    donate_argnums=(0,))
-def _train_step(params, tokens, targets, hidden, rng, lr,
+def _train_step(params, tokens, targets, hidden, rng, lr, clip,
                 dropout: float = 0.2, cell: str = "LSTM"):
     def loss_fn(p):
         logp, new_hidden = _apply_train(p, tokens, hidden, rng, dropout,
@@ -93,12 +93,12 @@ def _train_step(params, tokens, targets, hidden, rng, lr,
         return nll, new_hidden
 
     (loss, new_hidden), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    return _sgd_clip_update(params, grads, lr), loss, new_hidden
+    return _sgd_clip_update(params, grads, lr, clip), loss, new_hidden
 
 
 @functools.partial(jax.jit, static_argnames=("dropout", "nhead"),
                    donate_argnums=(0,))
-def _train_step_transformer(params, tokens, targets, rng, lr,
+def _train_step_transformer(params, tokens, targets, rng, lr, clip,
                             dropout: float = 0.2, nhead: int = 2):
     from tq_tpu.models import transformer_lm
 
@@ -108,7 +108,7 @@ def _train_step_transformer(params, tokens, targets, rng, lr,
         return -jnp.take_along_axis(logp, targets[:, None], axis=1).mean()
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
-    return _sgd_clip_update(params, grads, lr), loss
+    return _sgd_clip_update(params, grads, lr, clip), loss
 
 
 def evaluate(params, stream, bptt: int = 35, model: str = "LSTM",
@@ -142,7 +142,14 @@ def train(epochs: int = 40, batch_size: int = 20, bptt: int = 35,
           lr: float = 20.0, dropout: float = 0.2, seed: int = 1111,
           data_dir=None, save_path=None, emsize=650, nhid=650, nlayers=2,
           limit_tokens=None, verbose=True, model: str = "LSTM",
-          nhead: int = 2):
+          nhead: int = 2, tied: bool = True, clip: float = 0.25,
+          log_interval: int | None = None):
+    """``tied``/``clip``/``bptt``/``seed``/``log_interval`` mirror the
+    reference CLI (main.py:14-47).  NB the reference's *default* is
+    UNTIED (``--tied`` is opt-in, main.py:36-37); this function keeps
+    ``tied=True`` for backward compatibility with existing callers and
+    the committed demo checkpoint — the CLI below follows the
+    reference's untied default."""
     if model not in MODELS:
         raise ValueError(f"model must be one of {MODELS}, got {model!r}")
     corpus, source = load_corpus(data_dir)
@@ -166,14 +173,20 @@ def train(epochs: int = 40, batch_size: int = 20, bptt: int = 35,
     else:
         params = lstm_lm.init(jax.random.PRNGKey(seed), vocab=vocab,
                               emsize=emsize, nhid=nhid, nlayers=nlayers,
-                              cell=model)
+                              cell=model, tied=tied)
     rng = jax.random.PRNGKey(seed + 1)
     best_val = math.inf
-    best_params = params
+    # Host snapshot from the start: the train step donates its params
+    # buffers, so a bare ``best_params = params`` alias would return
+    # deleted buffers if epoch 1's val_loss is NaN and the snapshot
+    # branch below never runs (ADVICE r4 #3).
+    best_params = jax.device_get(params)
+    clip_f = jnp.float32(clip)
     for epoch in range(1, epochs + 1):
         if model != "Transformer":
             hidden = lstm_lm.init_hidden(batch_size, nhid=nhid,
                                          nlayers=nlayers, cell=model)
+        interval_loss, n_batches = jnp.float32(0.0), 0
         for i in range(0, len(train_stream) - 1, bptt):
             seq = min(bptt, len(train_stream) - 1 - i)
             x = jnp.asarray(train_stream[i : i + seq])
@@ -181,24 +194,38 @@ def train(epochs: int = 40, batch_size: int = 20, bptt: int = 35,
             rng, sub = jax.random.split(rng)
             if model == "Transformer":
                 params, loss = _train_step_transformer(
-                    params, x, y, sub, jnp.float32(lr), dropout, nhead
+                    params, x, y, sub, jnp.float32(lr), clip_f, dropout,
+                    nhead
                 )
             else:
                 params, loss, hidden = _train_step(
-                    params, x, y, hidden, sub, jnp.float32(lr), dropout,
-                    model
+                    params, x, y, hidden, sub, jnp.float32(lr), clip_f,
+                    dropout, model
                 )
+            if log_interval:
+                # Accumulate on device; ONE host fetch per interval
+                # (the reference prints cur_loss/ppl every
+                # --log-interval batches, main.py:186-194).
+                interval_loss = interval_loss + loss
+                n_batches += 1
+                if n_batches % log_interval == 0:
+                    cur = float(interval_loss) / log_interval
+                    print(f"| epoch {epoch} | batch {n_batches} | "
+                          f"lr {lr:.2f} | loss {cur:5.2f} | "
+                          f"ppl {math.exp(min(cur, 700)):8.2f}")
+                    interval_loss = jnp.float32(0.0)
         val_loss = evaluate(params, val_stream, bptt, model, nhead)
         if verbose:
             print(f"epoch {epoch}: val_loss={val_loss:.3f} "
                   f"ppl={math.exp(min(val_loss, 700)):.2f} lr={lr}")
         if val_loss < best_val:
             best_val = val_loss
-            # Host snapshot: the train step donates its params buffers,
-            # so a bare alias here would be deleted by the next step.
+            # Host snapshot (donation — see best_params init above).
             best_params = jax.device_get(params)
             if save_path:
-                save_params(save_path, params)
+                # Record the model family: gate shapes can't tell
+                # RNN_TANH from RNN_RELU at load time (ADVICE r4 #1).
+                save_params(save_path, params, meta={"model": model})
         else:
             lr /= 4.0  # main.py:227 annealing
     return best_params, best_val
@@ -214,8 +241,21 @@ def main(argv=None):
                          "type or Transformer")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch-size", type=int, default=20)
+    ap.add_argument("--bptt", type=int, default=35,
+                    help="sequence length (main.py:30)")
     ap.add_argument("--lr", type=float, default=20.0)
+    ap.add_argument("--clip", type=float, default=0.25,
+                    help="gradient clipping (main.py:26)")
     ap.add_argument("--dropout", type=float, default=0.2)
+    ap.add_argument("--tied", action="store_true",
+                    help="tie the word embedding and softmax weights "
+                         "(main.py:36-37; like the reference, the "
+                         "DEFAULT is untied)")
+    ap.add_argument("--seed", type=int, default=1111,
+                    help="random seed (main.py:38)")
+    ap.add_argument("--log-interval", type=int, default=200,
+                    help="report interval in batches (main.py:42); "
+                         "0 disables per-batch logging")
     ap.add_argument("--nhead", type=int, default=2)
     ap.add_argument("--data", default=None)
     ap.add_argument("--save", default="pretrained/lstm.npz")
@@ -225,10 +265,11 @@ def main(argv=None):
     ap.add_argument("--limit-tokens", type=int, default=None)
     a = ap.parse_args(argv)
     Path(a.save).parent.mkdir(parents=True, exist_ok=True)
-    train(a.epochs, a.batch_size, lr=a.lr, dropout=a.dropout,
-          data_dir=a.data, save_path=a.save, emsize=a.emsize, nhid=a.nhid,
-          nlayers=a.nlayers, limit_tokens=a.limit_tokens, model=a.model,
-          nhead=a.nhead)
+    train(a.epochs, a.batch_size, bptt=a.bptt, lr=a.lr, dropout=a.dropout,
+          seed=a.seed, data_dir=a.data, save_path=a.save, emsize=a.emsize,
+          nhid=a.nhid, nlayers=a.nlayers, limit_tokens=a.limit_tokens,
+          model=a.model, nhead=a.nhead, tied=a.tied, clip=a.clip,
+          log_interval=a.log_interval or None)
 
 
 if __name__ == "__main__":

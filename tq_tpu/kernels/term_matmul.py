@@ -31,7 +31,7 @@ from typing import NamedTuple
 from tq_tpu.kernels.tr_quantize import _quantize, _topk_value
 
 __all__ = ["term_matmul", "pack_weight_int", "pack_weight_u8s",
-           "unpack_weight_u8s", "PackedWeight8"]
+           "unpack_weight_u8s", "flush_pack_checks", "PackedWeight8"]
 
 
 class PackedWeight8(NamedTuple):
@@ -45,7 +45,66 @@ class PackedWeight8(NamedTuple):
     w_sf: jax.Array    # () f32 weight scale
 
 
-def pack_weight_u8s(w_q, w_sf, bits: int):
+@jax.jit
+def _pack_u8s_device(w_q, w_sf):
+    """Traced body of :func:`pack_weight_u8s`: ONE compiled program.
+
+    Eager per-op dispatch here cost ~15 device round-trips per tensor
+    plus a blocking ``float(max(...))`` sync — under a congested device
+    tunnel that made packing a 10-tensor model take minutes (the
+    BENCH_r04 transformer-generation 600 s timeout was exactly this:
+    the chains ran in 6 s, ``pack`` burned the rest).  The overflow
+    check comes back as a scalar so the caller can defer/batch the
+    fetch (:func:`flush_pack_checks`).
+    """
+    w_sf = jnp.asarray(w_sf, jnp.float32)
+    zero = w_sf == 0.0
+    safe_sf = jnp.where(zero, jnp.float32(1.0), w_sf)
+    q = jnp.where(zero, 0, jnp.round(w_q / safe_sf).astype(jnp.int32))
+    maxq = jnp.max(jnp.abs(q))
+    K, N = q.shape
+    K8 = -(-K // 8) * 8
+    q = jnp.pad(q, ((0, K8 - K), (0, 0)))
+    lo = (jnp.abs(q) - 128).astype(jnp.int8)  # bias: 0..255 -> -128..127
+    sbit = (q < 0).astype(jnp.int32).reshape(K8 // 8, 8, N)
+    weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, :, None]
+    signs = jnp.sum(sbit * weights, axis=1).astype(jnp.int8)
+    return PackedWeight8(lo, signs, safe_sf), maxq
+
+
+def _grid_check(maxq, limit: int, bits: int, what: str, checks):
+    """Validate ``maxq <= limit`` — immediately (one host fetch) or, if
+    ``checks`` is a list, deferred: the caller batches every pack's
+    scalar into ONE device fetch via :func:`flush_pack_checks`."""
+    if checks is not None:
+        checks.append((maxq, limit, bits, what))
+        return
+    v = float(maxq)
+    if v > limit:
+        raise ValueError(
+            f"max |w/w_sf| = {v} {what} — 'bits' ({bits}) "
+            "understates the quantization grid"
+        )
+
+
+def flush_pack_checks(checks) -> None:
+    """Fetch all deferred pack overflow scalars in one transfer and
+    raise on the first violation.  Model-level ``pack`` transforms pass
+    a shared list through every per-tensor pack call so a whole model
+    packs with a single host sync."""
+    if not checks:
+        return
+    vals = jax.device_get([m for m, _, _, _ in checks])
+    for v, (_, limit, bits, what) in zip(vals, checks):
+        if float(v) > limit:
+            raise ValueError(
+                f"max |w/w_sf| = {float(v)} {what} — 'bits' ({bits}) "
+                "understates the quantization grid"
+            )
+    checks.clear()
+
+
+def pack_weight_u8s(w_q, w_sf, bits: int, checks: list | None = None):
     """Pack term-revealed weights of an 8-bit grid into 9 bits/weight.
 
     The int16 path streams 2 bytes per weight for any grid over 7 bits,
@@ -64,29 +123,15 @@ def pack_weight_u8s(w_q, w_sf, bits: int):
     activation K to match; zero rows contribute nothing).  Requires
     ``bits <= 8``; grids <= 7 bits should use :func:`pack_weight_int`
     (plain int8 is already 8 bits/weight with no decode cost).
+
+    ``checks``: optional shared list for deferred overflow validation —
+    see :func:`flush_pack_checks`.
     """
     if bits > 8:
         raise ValueError(f"pack_weight_u8s needs bits <= 8, got {bits}")
-    w_sf = jnp.asarray(w_sf, jnp.float32)
-    if float(w_sf) == 0.0:
-        q = jnp.zeros(w_q.shape, jnp.int32)
-        w_sf = jnp.float32(1.0)
-    else:
-        q = jnp.round(w_q / w_sf).astype(jnp.int32)
-        maxq = float(jnp.max(jnp.abs(q)))
-        if maxq > 255:
-            raise ValueError(
-                f"max |w/w_sf| = {maxq} > 255 — 'bits' ({bits}) "
-                "understates the quantization grid"
-            )
-    K, N = q.shape
-    K8 = -(-K // 8) * 8
-    q = jnp.pad(q, ((0, K8 - K), (0, 0)))
-    lo = (jnp.abs(q) - 128).astype(jnp.int8)  # bias: 0..255 -> -128..127
-    sbit = (q < 0).astype(jnp.int32).reshape(K8 // 8, 8, N)
-    weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, :, None]
-    signs = jnp.sum(sbit * weights, axis=1).astype(jnp.int8)
-    return PackedWeight8(lo, signs, w_sf)
+    wp, maxq = _pack_u8s_device(w_q, jnp.asarray(w_sf, jnp.float32))
+    _grid_check(maxq, 255, bits, "> 255", checks)
+    return wp
 
 
 def unpack_weight_u8s(wp: PackedWeight8, k: int | None = None):
@@ -122,7 +167,19 @@ def _decode_packed(lo, signs):
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
-def pack_weight_int(w_q, w_sf, bits: int):
+@functools.partial(jax.jit, static_argnames="dtype")
+def _pack_int_device(w_q, w_sf, dtype):
+    """Traced body of :func:`pack_weight_int` (see ``_pack_u8s_device``
+    for why packing must be one compiled program, not eager ops)."""
+    w_sf = jnp.asarray(w_sf, jnp.float32)
+    zero = w_sf == 0.0
+    safe_sf = jnp.where(zero, jnp.float32(1.0), w_sf)
+    q = jnp.where(zero, 0.0, jnp.round(w_q / safe_sf))
+    maxq = jnp.max(jnp.abs(q))
+    return q.astype(dtype), safe_sf, maxq
+
+
+def pack_weight_int(w_q, w_sf, bits: int, checks: list | None = None):
     """Pack term-revealed fp weights into narrow ints for streaming.
 
     ``w_q`` values are exact multiples of ``w_sf``; with this repo's
@@ -130,22 +187,16 @@ def pack_weight_int(w_q, w_sf, bits: int):
     ``2^(bits-1)``, so int8 covers grids up to 7 bits and int16 up to
     15.  Returns (int8|int16 array, w_sf).  Raises on overflow (a
     ``bits`` that understates the actual grid would otherwise wrap
-    silently) and on ``w_sf == 0`` (all-zero tensors have no scale).
+    silently); all-zero tensors (``w_sf == 0``) pack to zeros with
+    scale 1.  ``checks``: optional shared list for deferred overflow
+    validation — see :func:`flush_pack_checks`.
     """
-    w_sf = jnp.asarray(w_sf, jnp.float32)
-    if float(w_sf) == 0.0:
-        # All-zero weights: any scale reconstructs them.
-        return jnp.zeros(w_q.shape, jnp.int8), jnp.float32(1.0)
-    q = jnp.round(w_q / w_sf)
     dtype = jnp.int8 if bits <= 7 else jnp.int16
     limit = 127 if bits <= 7 else 32767
-    maxq = float(jnp.max(jnp.abs(q)))
-    if maxq > limit:
-        raise ValueError(
-            f"max |w/w_sf| = {maxq} overflows {dtype.__name__} — "
-            f"'bits' ({bits}) understates the quantization grid"
-        )
-    return q.astype(dtype), w_sf
+    q, w_sf, maxq = _pack_int_device(w_q, jnp.asarray(w_sf, jnp.float32),
+                                     dtype)
+    _grid_check(maxq, limit, bits, f"overflows {dtype.__name__}", checks)
+    return q, w_sf
 
 
 def _tr_tile(x, sf, bits: int, budget: int, apply_sf: bool):

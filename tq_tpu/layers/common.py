@@ -8,7 +8,9 @@ at conversion time (``tr_layer.py:117-121`` and ``:145-148``, ``:174-186``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 
 from tq_tpu.ops.term_reveal import term_reveal
@@ -53,12 +55,16 @@ def weight_scale(w, weight_bits: int):
     return jnp.max(jnp.abs(w)) / (2 ** (weight_bits - 1))
 
 
+@functools.partial(jax.jit, static_argnames=("tr", "axis"))
 def quantize_weight(w, tr: TRParams, axis: int):
     """Term-reveal a weight tensor along its input-channel axis.
 
     Returns ``(w_q, w_sf)``; done once at conversion, mirroring the
     eager weight pass through ``tr_cuda.tr`` in the reference layer
-    constructors.
+    constructors.  Jitted whole (``tr``/``axis`` static — TRParams is a
+    frozen dataclass, hashable) so model conversion costs ONE dispatch
+    per tensor instead of several eager ops — under a congested device
+    tunnel eager dispatches cost seconds each (BENCH_r04 post-mortem).
     """
     w_sf = weight_scale(w, tr.weight_bits)
     w_q = term_reveal(

@@ -47,7 +47,7 @@ def tr_conv_convert(params, tr: TRParams):
     return out
 
 
-def pack_conv_weights(qp, tr: TRParams):
+def pack_conv_weights(qp, tr: TRParams, checks: list | None = None):
     """Pack a converted conv layer's weights into narrow integers.
 
     Serving-time transform (see :func:`pack_dense_weights`): int8 for
@@ -59,7 +59,8 @@ def pack_conv_weights(qp, tr: TRParams):
     """
     from tq_tpu.kernels.term_matmul import pack_weight_int
 
-    w_int, w_sf = pack_weight_int(qp["w"], qp["w_sf"], tr.weight_bits)
+    w_int, w_sf = pack_weight_int(qp["w"], qp["w_sf"], tr.weight_bits,
+                                  checks=checks)
     out = dict(qp)
     out["w"] = w_int
     out["w_sf"] = w_sf

@@ -62,7 +62,8 @@ def tr_dense_convert(params, tr: TRParams):
     return out
 
 
-def pack_dense_weights(qp, tr: TRParams, fmt: str = "int"):
+def pack_dense_weights(qp, tr: TRParams, fmt: str = "int",
+                       checks: list | None = None):
     """Pack a converted dense layer's weights into narrow integers.
 
     Serving-time transform: the term-revealed fp32 weights become int8
@@ -85,10 +86,12 @@ def pack_dense_weights(qp, tr: TRParams, fmt: str = "int"):
 
     out = dict(qp)
     if fmt == "u8s":
-        out["w"] = pack_weight_u8s(qp["w"], qp["w_sf"], tr.weight_bits)
+        out["w"] = pack_weight_u8s(qp["w"], qp["w_sf"], tr.weight_bits,
+                                   checks=checks)
         out["w_sf"] = out["w"].w_sf
     elif fmt == "int":
-        w_int, w_sf = pack_weight_int(qp["w"], qp["w_sf"], tr.weight_bits)
+        w_int, w_sf = pack_weight_int(qp["w"], qp["w_sf"], tr.weight_bits,
+                                      checks=checks)
         out["w"] = w_int
         out["w_sf"] = w_sf
     else:

@@ -209,7 +209,7 @@ def tr_lstm_convert(
 
 
 def tr_lstm_pack(qp_rnn, tr: TRParams, fmt: str = "u8s",
-                 unquantized_dtype=None):
+                 unquantized_dtype=None, checks: list | None = None):
     """Serving transform: pack the recurrent weights for HBM streaming.
 
     Token-by-token generation re-reads every recurrent matrix per step
@@ -234,11 +234,13 @@ def tr_lstm_pack(qp_rnn, tr: TRParams, fmt: str = "u8s",
             for key in ("w_ih", "w_hh"):
                 sf = layer[key + "_sf"]
                 if fmt == "u8s" and tr.weight_bits <= 8:
-                    wp = pack_weight_u8s(layer[key], sf, tr.weight_bits)
+                    wp = pack_weight_u8s(layer[key], sf, tr.weight_bits,
+                                         checks=checks)
                     layer[key], layer[key + "_sf"] = wp, wp.w_sf
                 elif tr.weight_bits <= 15:
                     w_int, w_sf = pack_weight_int(layer[key], sf,
-                                                  tr.weight_bits)
+                                                  tr.weight_bits,
+                                                  checks=checks)
                     layer[key], layer[key + "_sf"] = w_int, w_sf
                 # > 15-bit grids stay fp32 (nothing narrower fits).
         elif unquantized_dtype is not None:

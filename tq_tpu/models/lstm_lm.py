@@ -158,10 +158,13 @@ def pack(qparams, qcfg, fmt: str = "int", rnn: bool | None = None,
     at M=1 (two extra kernel launches beat the 6.8 MB saved), so it is
     off by default everywhere.
     """
+    from tq_tpu.kernels.term_matmul import flush_pack_checks
     from tq_tpu.layers.linear import pack_dense_weights
     from tq_tpu.layers.lstm import tr_lstm_pack
 
     out = dict(qparams)
+    checks: list = []  # ONE host sync for the whole model (congested-
+    # tunnel resilience: per-tensor syncs cost minutes, BENCH_r04)
     dec_fmt = fmt
     if fmt == "u8s" and qcfg["decoder"].weight_bits > 8:
         # u8s only fits 8-bit grids; fall back to int for wider layers
@@ -169,12 +172,15 @@ def pack(qparams, qcfg, fmt: str = "int", rnn: bool | None = None,
         dec_fmt = "int"
     if dec_fmt == "u8s" or qcfg["decoder"].weight_bits <= 15:
         out["decoder"] = pack_dense_weights(qparams["decoder"],
-                                            qcfg["decoder"], fmt=dec_fmt)
+                                            qcfg["decoder"], fmt=dec_fmt,
+                                            checks=checks)
     if rnn is None:
         rnn = fmt == "u8s"
     if rnn:
         out["rnn"] = tr_lstm_pack(qparams["rnn"], qcfg["rnn"], fmt=fmt,
-                                  unquantized_dtype=rnn_unquantized_dtype)
+                                  unquantized_dtype=rnn_unquantized_dtype,
+                                  checks=checks)
+    flush_pack_checks(checks)
     return out
 
 

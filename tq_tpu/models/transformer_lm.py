@@ -288,18 +288,24 @@ def pack(qparams, qcfg, fmt: str = "int"):
     formats' smaller HBM footprint applies to the whole stack here —
     the decoder (emsize -> vocab) dominating as in the LSTM.
     ``fmt='u8s'``: the 9-bits/weight format for 8-bit grids."""
+    from tq_tpu.kernels.term_matmul import flush_pack_checks
     from tq_tpu.layers.linear import pack_dense_weights
 
     out = dict(qparams)
+    checks: list = []  # ONE host sync for the whole model (congested-
+    # tunnel resilience: per-tensor syncs cost minutes, BENCH_r04)
     for name, tr in qcfg.items():
         if fmt == "u8s" and tr.weight_bits > 8:
             # u8s only fits 8-bit grids; fall back to the int format for
             # wider layers in a mixed-precision config (ADVICE r3 #2)
             # instead of raising on the whole model.
             if tr.weight_bits <= 15:
-                out[name] = pack_dense_weights(qparams[name], tr, fmt="int")
+                out[name] = pack_dense_weights(qparams[name], tr, fmt="int",
+                                               checks=checks)
         elif fmt == "u8s" or tr.weight_bits <= 15:
-            out[name] = pack_dense_weights(qparams[name], tr, fmt=fmt)
+            out[name] = pack_dense_weights(qparams[name], tr, fmt=fmt,
+                                           checks=checks)
+    flush_pack_checks(checks)
     return out
 
 

@@ -78,11 +78,18 @@ def unflatten_tree(flat: dict):
     return listify(root)
 
 
-def save_params(path: str | Path, tree, store_dtype=None):
+def save_params(path: str | Path, tree, store_dtype=None, meta=None):
     """``store_dtype=np.float16`` halves on-disk size for distribution
     checkpoints (committed demo weights); float leaves are narrowed at
     save and widened back to float32 by :func:`load_params` — storage
-    dtype, not compute dtype."""
+    dtype, not compute dtype.  A ``__meta__/store_dtype`` marker records
+    which convention applies, so checkpoints whose params are GENUINELY
+    float16 (compute dtype) round-trip unchanged (ADVICE r4 #5).
+
+    ``meta``: optional {str: str} side-channel (e.g. ``{'cell': 'GRU',
+    'nonlinearity': 'relu'}`` — the model-family facts shapes can't
+    recover, ADVICE r4 #1); read back via ``load_params(with_meta=True)``.
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = flatten_tree(jax.device_get(tree))
@@ -90,15 +97,32 @@ def save_params(path: str | Path, tree, store_dtype=None):
         flat = {k: (v.astype(store_dtype)
                     if np.issubdtype(v.dtype, np.floating) else v)
                 for k, v in flat.items()}
+    flat["__meta__/store_dtype"] = np.asarray(
+        np.dtype(store_dtype).name if store_dtype is not None else "none")
+    for k, v in (meta or {}).items():
+        flat[f"__meta__/{k}"] = np.asarray(str(v))
     np.savez(path, **flat)
 
 
-def load_params(path: str | Path):
+def load_params(path: str | Path, with_meta: bool = False):
+    """Load a :func:`save_params` checkpoint.
+
+    Narrowed-storage floats (``store_dtype`` convention) widen back to
+    float32; genuinely-float16 params (marker ``'none'``) keep their
+    dtype.  Legacy checkpoints without the marker widen float16 — the
+    pre-marker save convention.  ``with_meta=True`` also returns the
+    ``meta`` dict (always includes ``store_dtype``; empty for legacy
+    files)."""
     with np.load(Path(path), allow_pickle=False) as z:
+        meta = {k[len("__meta__/"):]: str(z[k])
+                for k in z.files if k.startswith("__meta__/")}
+        narrowed = meta.get("store_dtype", "float16")  # legacy: widen
         flat = {k: (z[k].astype(np.float32)
-                    if z[k].dtype == np.float16 else z[k])
-                for k in z.files}
-    return unflatten_tree(flat)
+                    if z[k].dtype == np.float16 and narrowed == "float16"
+                    else z[k])
+                for k in z.files if not k.startswith("__meta__/")}
+    tree = unflatten_tree(flat)
+    return (tree, meta) if with_meta else tree
 
 
 def save_params_orbax(path: str | Path, tree):
