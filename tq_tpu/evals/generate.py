@@ -81,7 +81,7 @@ def generate_tr(params, vocab: int, words: int = 100,
                 temperature: float = 1.0, seed: int = 1111,
                 tr=(8, 8, 24, 8, 8), pack_fmt: str | None = None,
                 calib_stream=None, calib_chunks: int = 4,
-                cell: str | None = None):
+                cell: str | None = None, export_path=None):
     """Generate from the TR-quantized recurrent LM at serving speed.
 
     Converts at (wb, gs, wt, db, dt), calibrates the activation scales
@@ -98,6 +98,10 @@ def generate_tr(params, vocab: int, words: int = 100,
     ``cell``: LSTM / GRU / RNN_TANH / RNN_RELU; None infers it from the
     gate shapes (ADVICE r4 #2 — this path used to hard-code LSTM and
     fail on GRU/RNN checkpoints with an opaque broadcast error).
+
+    ``export_path``: also serialize the calibrated (packed) serving
+    step to StableHLO — the reference's ``--onnx-export`` deployable
+    (main.py:196-202; :func:`tq_tpu.utils.export.export_lm_step`).
     """
     wb, gs, wt, db, dt = tr
     if cell is None:
@@ -120,6 +124,10 @@ def generate_tr(params, vocab: int, words: int = 100,
     qstate = lstm_lm.finalize(qstate, qcfg)
     if pack_fmt is not None:
         qparams = lstm_lm.pack(qparams, qcfg, fmt=pack_fmt)
+    if export_path is not None:
+        from tq_tpu.utils.export import export_lm_step
+
+        export_lm_step(qparams, qcfg, qstate, export_path, nhid=nhid)
     fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
 
     def step(tok, hidden):
@@ -179,7 +187,8 @@ def generate_transformer_tr(params, vocab: int, words: int = 100,
                             temperature: float = 1.0, seed: int = 1111,
                             nhead: int = 2, tr=(8, 8, 24, 8, 8),
                             pack_fmt: str | None = None,
-                            calib_stream=None, calib_chunks: int = 4):
+                            calib_stream=None, calib_chunks: int = 4,
+                            export_path=None):
     """Sample from the TR-quantized Transformer at serving speed.
 
     Same protocol as :func:`generate_tr`: convert at (wb, gs, wt, db,
@@ -217,6 +226,21 @@ def generate_transformer_tr(params, vocab: int, words: int = 100,
     d = params["encoder"]["w"].shape[1]
     nlayers = sum(1 for k in params if k.endswith(".linear1"))
     L = words + 1
+    if export_path is not None:
+        # Deployable KV-cache decode step (--onnx-export analog): the
+        # packed weights + scales embedded as StableHLO constants.
+        from tq_tpu.utils.export import export_serving
+
+        def _step(tok, pos, cache):
+            return transformer_lm.decode_step(qparams, tok, pos, cache,
+                                              nhead=nhead, qcfg=qcfg,
+                                              qstate=qstate)
+
+        export_serving(
+            _step,
+            (jnp.zeros((1, 1), jnp.int32), jnp.int32(0),
+             transformer_lm.decode_init_cache(L, 1, d, nhead, nlayers)),
+            export_path)
     rng = np.random.default_rng(seed)
     tok0 = jnp.full((1, 1), int(rng.integers(0, vocab)), jnp.int32)
 
@@ -266,12 +290,20 @@ def main(argv=None):
                     metavar=("WB", "GS", "WT", "DB", "DT"),
                     help="generate from the TR-quantized model at this "
                          "setting (LSTM or Transformer)")
+    ap.add_argument("--export", default=None, metavar="PATH",
+                    help="also serialize the (quantized) serving step "
+                         "to StableHLO at PATH — the deployable-graph "
+                         "artifact (the reference's --onnx-export, "
+                         "main.py:196-202); requires --tr")
     ap.add_argument("--pack", default="none", choices=["u8s", "int", "none"],
                     help="weight format for --tr serving: none (fp32 "
                          "fake-quant, VMEM-resident in the scan — "
                          "fastest when the model fits), u8s/int "
                          "(packed HBM streaming for larger models)")
     a = ap.parse_args(argv)
+    if a.export and a.tr is None:
+        raise SystemExit("--export requires --tr (the artifact is the "
+                         "quantized serving step)")
 
     corpus, source = load_corpus(a.data)
     vocab = len(corpus.dictionary.idx2word)
@@ -293,7 +325,7 @@ def main(argv=None):
                 params, vocab, a.words, a.temperature, a.seed,
                 nhead=a.nhead, tr=tuple(a.tr),
                 pack_fmt=None if a.pack == "none" else a.pack,
-                calib_stream=stream)
+                calib_stream=stream, export_path=a.export)
         else:
             toks = generate_transformer(params, vocab, a.words,
                                         a.temperature, a.seed,
@@ -306,7 +338,8 @@ def main(argv=None):
         toks = generate_tr(params, vocab, a.words, a.temperature, a.seed,
                            tr=tuple(a.tr),
                            pack_fmt=None if a.pack == "none" else a.pack,
-                           calib_stream=stream, cell=cell)
+                           calib_stream=stream, cell=cell,
+                           export_path=a.export)
     else:
         toks = generate(params, vocab, a.words, a.temperature, a.seed,
                         cell=cell or lstm_lm.infer_cell(params))
