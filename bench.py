@@ -25,14 +25,14 @@ inside each, backend init is retried with backoff and degrades to CPU
 ``{"metric": ..., "error": ...}`` instead of killing the suite.  The
 suite always exits 0 with one line per metric.
 
-Budgeting (VERDICT r3 next #1 — BENCH_r03 was killed by the driver's
-outer wall-clock at 3/7 metrics): the suite runs END-TO-END metrics
-FIRST (they are the headline evidence) and keeps a global wall-clock
-budget (env ``TQ_BENCH_BUDGET_S``, default 1200 s).  Before each metric
-it checks the remaining budget and emits
+Budgeting (VERDICT r3 next #1, r4 next #1): the suite runs END-TO-END
+metrics FIRST (they are the headline evidence) and keeps a global
+wall-clock budget (env ``TQ_BENCH_BUDGET_S``, default 1200 s).  Each
+metric's subprocess timeout is its WEIGHTED SHARE of the remaining
+budget (see ``_run_suite``) — never a flat cap that lets one stuck
+metric eat half the record; a metric that can't fit emits
 ``{"metric": ..., "skipped": "budget", ...}`` instead of being killed
-mid-metric; each subprocess gets ``min(remaining, TQ_BENCH_METRIC_S)``
-as its own timeout.  Every line carries ``secs`` (the metric's own
+mid-metric, and any timeout flips fast mode for the rest.  Every line carries ``secs`` (the metric's own
 wall-clock, which doubles as a compile-cache health check: a warm
 /tmp/tq_jax_cache run takes seconds-to-tens per metric, a cold one
 ~100 s+ per distinct program on this rig's remote-compile tunnel; the
@@ -929,23 +929,12 @@ def _run_suite() -> int:
         except OSError:
             return 0
 
-    printed = 0
-    for i, (name, argv, weight) in enumerate(SUITE):
-        remaining = budget - (time.perf_counter() - t_start)
-        if remaining < 45:
-            # Not enough room to produce a trustworthy number — emit a
-            # structured skip instead of being killed mid-metric.
-            print(json.dumps({
-                "metric": name, "skipped": "budget",
-                "remaining_s": round(remaining, 1),
-            }), flush=True)
-            printed += 1
-            continue
-        weight_left = sum(w for _, _, w in SUITE[i:])
-        cap = min(metric_cap, remaining,
-                  max(60.0, remaining * weight / weight_left))
+    def _run_one(name, argv, cap, retry=False):
+        """Run one metric subprocess; print its line.  Returns True if a
+        VALUE line (not an error) was printed."""
         t_m = time.perf_counter()
         entries0 = _cache_entries()
+        ok = False
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *argv],
@@ -963,6 +952,9 @@ def _run_suite() -> int:
                 try:
                     rec = json.loads(line)
                     rec["secs"] = secs
+                    if retry:
+                        rec["retry"] = True
+                    ok = "value" in rec
                     line = json.dumps(rec)
                 except ValueError:
                     pass
@@ -977,15 +969,15 @@ def _run_suite() -> int:
             # Name the binding constraint honestly (round-4's record
             # blamed "per-metric cap" for a remaining-budget kill).
             which = ("per-metric cap" if cap == metric_cap
-                     else "remaining budget" if cap == remaining
                      else "weighted share")
             print(json.dumps({
                 "metric": name,
                 "secs": round(time.perf_counter() - t_m, 1),
-                "error": f"timeout ({which}, cap {round(cap)}s)",
+                "error": f"timeout ({which}, cap {round(cap)}s)"
+                         + (" on retry" if retry else ""),
             }), flush=True)
             # A timeout anywhere means the tunnel is congested — run
-            # the remaining metrics in fast mode.
+            # the remaining subprocesses in fast mode.
             child_env["TQ_BENCH_FAST"] = "1"
         except Exception as e:  # noqa: BLE001 — keep the record alive
             print(json.dumps({
@@ -998,7 +990,6 @@ def _run_suite() -> int:
             "event": "compile_cache", "metric": name,
             "entries_before": entries0, "entries_after": _cache_entries(),
         }), file=sys.stderr, flush=True)
-        printed += 1
         secs_m = time.perf_counter() - t_m
         if (secs_m > min(fast_thresh, 3 * weight)
                 and child_env.get("TQ_BENCH_FAST") != "1"):
@@ -1007,6 +998,40 @@ def _run_suite() -> int:
                 "event": "congested_window", "metric": name,
                 "metric_s": round(secs_m, 1), "action": "TQ_BENCH_FAST=1",
             }), file=sys.stderr, flush=True)
+        return ok
+
+    printed = 0
+    failed: list = []
+    for i, (name, argv, weight) in enumerate(SUITE):
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < 45:
+            # Not enough room to produce a trustworthy number — emit a
+            # structured skip instead of being killed mid-metric.
+            print(json.dumps({
+                "metric": name, "skipped": "budget",
+                "remaining_s": round(remaining, 1),
+            }), flush=True)
+            printed += 1
+            continue
+        weight_left = sum(w for _, _, w in SUITE[i:])
+        cap = min(metric_cap, remaining,
+                  max(60.0, remaining * weight / weight_left))
+        if not _run_one(name, argv, cap):
+            failed.append((name, argv, weight))
+        printed += 1
+
+    # Retry pass (round 5): this rig's tunnel congestion comes in
+    # minute-scale waves — a metric that timed out in one wave often
+    # runs clean minutes later.  Spend whatever budget the healthy
+    # metrics left on one fast-mode retry each (later value lines for
+    # the same metric supersede the earlier error lines).
+    child_env["TQ_BENCH_FAST"] = "1"
+    for name, argv, weight in failed:
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < 60:
+            break
+        _run_one(name, argv, min(remaining, max(90.0, 1.5 * weight)),
+                 retry=True)
     return printed
 
 
