@@ -880,18 +880,18 @@ def _safe(name: str, make, backend: str) -> bool:
 # round-4/5 measured warm-cache wall-clocks, padded ~1.5x.
 SUITE = (
     # End-to-end serving headlines:
-    ("resnet18_tr_inference_int8_bf16io", ["resnet", "int8", "bf16"], 120),
+    ("resnet18_tr_inference_int8_bf16io", ["resnet", "int8", "bf16"], 150),
     ("resnet18_uq_inference_int8_bf16io",
      ["resnet", "int8", "uq", "bf16"], 60),
     ("resnet18_tr_inference_bf16io", ["resnet", "bf16"], 240),
     ("lstm_tr_tokens_per_s", ["lstm"], 90),
     # beyond-reference serving: packed-weight-streaming generation
-    ("lstm_generate_tokens_per_s", ["generate"], 120),
+    ("lstm_generate_tokens_per_s", ["generate"], 90),
     ("transformer_generate_tokens_per_s", ["tfgen"], 60),
     # Kernel micro-metrics:
-    ("term_matmul_fused", ["matmul"], 90),
+    ("term_matmul_fused", ["matmul"], 60),
     ("term_matmul_int8", ["matmul", "int8"], 90),
-    ("tr_quantize_bandwidth", ["quantize"], 90),
+    ("tr_quantize_bandwidth", ["quantize"], 60),
 )
 
 
@@ -1023,15 +1023,24 @@ def _run_suite() -> int:
     # Retry pass (round 5): this rig's tunnel congestion comes in
     # minute-scale waves — a metric that timed out in one wave often
     # runs clean minutes later.  Spend whatever budget the healthy
-    # metrics left on one fast-mode retry each (later value lines for
-    # the same metric supersede the earlier error lines).
+    # metrics left on fast-mode retries, cycling failed metrics until
+    # the budget runs out or everything has a value (later value lines
+    # for the same metric supersede the earlier error lines).
     child_env["TQ_BENCH_FAST"] = "1"
-    for name, argv, weight in failed:
-        remaining = budget - (time.perf_counter() - t_start)
-        if remaining < 60:
+    for _round in range(3):
+        still = []
+        for j, (name, argv, weight) in enumerate(failed):
+            remaining = budget - (time.perf_counter() - t_start)
+            if remaining < 60:
+                still.extend(failed[j:])
+                break
+            if not _run_one(name, argv,
+                            min(remaining, max(90.0, 1.5 * weight)),
+                            retry=True):
+                still.append((name, argv, weight))
+        failed = still
+        if not failed or budget - (time.perf_counter() - t_start) < 60:
             break
-        _run_one(name, argv, min(remaining, max(90.0, 1.5 * weight)),
-                 retry=True)
     return printed
 
 
