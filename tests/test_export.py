@@ -158,3 +158,22 @@ def test_generate_cli_export_requires_tr(tmp_path):
                                  emsize=8, nhid=8, nlayers=1))
     with pytest.raises(SystemExit, match="requires --tr"):
         main(["--checkpoint", str(ck), "--export", str(tmp_path / "x")])
+
+
+def test_multi_platform_export(tmp_path):
+    """One artifact lowered for BOTH cpu and tpu (jax.export
+    multi-platform lowering) — portable deployment; executes on the
+    current (cpu) backend here."""
+    from tq_tpu.models import lstm_lm
+
+    params = lstm_lm.init(jax.random.PRNGKey(5), vocab=32, emsize=8,
+                          nhid=8, nlayers=1)
+    qp, qcfg, qs = lstm_lm.convert(params, 8, 8, 24, 8, 8)
+    qs = {k: {**v, "sf": jnp.float32(0.05)} for k, v in qs.items()}
+    qp = lstm_lm.pack(qp, qcfg, fmt="u8s")
+    data = export_lm_step(qp, qcfg, qs, platforms=("cpu", "tpu"))
+    exp = jax.export.deserialize(data)
+    assert set(exp.platforms) == {"cpu", "tpu"}
+    logp, _ = exp.call(jnp.zeros((1, 1), jnp.int32),
+                       lstm_lm.init_hidden(1, nhid=8, nlayers=1))
+    assert logp.shape == (1, 32)

@@ -81,7 +81,8 @@ def generate_tr(params, vocab: int, words: int = 100,
                 temperature: float = 1.0, seed: int = 1111,
                 tr=(8, 8, 24, 8, 8), pack_fmt: str | None = None,
                 calib_stream=None, calib_chunks: int = 4,
-                cell: str | None = None, export_path=None):
+                cell: str | None = None, export_path=None,
+                export_platforms=None):
     """Generate from the TR-quantized recurrent LM at serving speed.
 
     Converts at (wb, gs, wt, db, dt), calibrates the activation scales
@@ -127,7 +128,8 @@ def generate_tr(params, vocab: int, words: int = 100,
     if export_path is not None:
         from tq_tpu.utils.export import export_lm_step
 
-        export_lm_step(qparams, qcfg, qstate, export_path, nhid=nhid)
+        export_lm_step(qparams, qcfg, qstate, export_path, nhid=nhid,
+                       platforms=export_platforms)
     fwd = lstm_lm.make_quantized_apply(qcfg, track=False)
 
     def step(tok, hidden):
@@ -188,7 +190,7 @@ def generate_transformer_tr(params, vocab: int, words: int = 100,
                             nhead: int = 2, tr=(8, 8, 24, 8, 8),
                             pack_fmt: str | None = None,
                             calib_stream=None, calib_chunks: int = 4,
-                            export_path=None):
+                            export_path=None, export_platforms=None):
     """Sample from the TR-quantized Transformer at serving speed.
 
     Same protocol as :func:`generate_tr`: convert at (wb, gs, wt, db,
@@ -240,7 +242,7 @@ def generate_transformer_tr(params, vocab: int, words: int = 100,
             _step,
             (jnp.zeros((1, 1), jnp.int32), jnp.int32(0),
              transformer_lm.decode_init_cache(L, 1, d, nhead, nlayers)),
-            export_path)
+            export_path, platforms=export_platforms)
     rng = np.random.default_rng(seed)
     tok0 = jnp.full((1, 1), int(rng.integers(0, vocab)), jnp.int32)
 
@@ -295,6 +297,11 @@ def main(argv=None):
                          "to StableHLO at PATH — the deployable-graph "
                          "artifact (the reference's --onnx-export, "
                          "main.py:196-202); requires --tr")
+    ap.add_argument("--export-platforms", default=None,
+                    metavar="P1,P2", help="comma-separated lowering "
+                    "platforms for --export (e.g. 'cpu,tpu' for one "
+                    "artifact that runs on both; default: the current "
+                    "backend only)")
     ap.add_argument("--pack", default="none", choices=["u8s", "int", "none"],
                     help="weight format for --tr serving: none (fp32 "
                          "fake-quant, VMEM-resident in the scan — "
@@ -325,7 +332,9 @@ def main(argv=None):
                 params, vocab, a.words, a.temperature, a.seed,
                 nhead=a.nhead, tr=tuple(a.tr),
                 pack_fmt=None if a.pack == "none" else a.pack,
-                calib_stream=stream, export_path=a.export)
+                calib_stream=stream, export_path=a.export,
+                export_platforms=(a.export_platforms.split(",")
+                                  if a.export_platforms else None))
         else:
             toks = generate_transformer(params, vocab, a.words,
                                         a.temperature, a.seed,
@@ -339,7 +348,9 @@ def main(argv=None):
                            tr=tuple(a.tr),
                            pack_fmt=None if a.pack == "none" else a.pack,
                            calib_stream=stream, cell=cell,
-                           export_path=a.export)
+                           export_path=a.export,
+                           export_platforms=(a.export_platforms.split(",")
+                                             if a.export_platforms else None))
     else:
         toks = generate(params, vocab, a.words, a.temperature, a.seed,
                         cell=cell or lstm_lm.infer_cell(params))
