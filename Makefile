@@ -2,11 +2,13 @@ PY ?= python
 
 .PHONY: test test-fast native bench figures clean
 
-# Full suite = the merge gate: 285 tests, measured 4:48 with 4 xdist
-# workers and a warm /tmp/tq_test_jax_cache (round 4 on the 2-CPU rig;
+# Full suite = the merge gate: 303 tests, measured 3:42 with 4 xdist
+# workers and a warm /tmp/tq_test_jax_cache (round 5 on the 2-CPU rig;
 # workers mostly wait on XLA:CPU compiles, so -n 4 > nproc still wins).
-# Cold cache adds ~4 min of one-time compiles.  TQ_TEST_CACHE_DIR=0
-# disables the persistent cache.
+# The round-5 cut from 4:48 came from skipping the HESE plane math in
+# degenerate-budget calibration (layers/quantize.py).  Cold cache adds
+# ~4 min of one-time compiles.  TQ_TEST_CACHE_DIR=0 disables the
+# persistent cache.
 test:
 	$(PY) -m pytest tests/ -q -n 4
 

@@ -144,3 +144,25 @@ def test_generate_tr_threads_cell(tmp_path):
                           nhid=16, nlayers=2, cell="GRU")
     toks = generate_tr(params, 31, words=12, tr=(8, 8, 24, 8, 8))
     assert len(toks) == 12 and all(0 <= t < 31 for t in toks)
+
+
+def test_train_cli_export(tmp_path):
+    """train --export writes the reference main.py:196-202 deployable
+    (fp32 serving step of the best model) as StableHLO."""
+    import jax.numpy as jnp
+
+    from tq_tpu.evals.train_lstm import main
+    from tq_tpu.models import lstm_lm
+    from tq_tpu.utils.export import load_serving
+
+    root = _tiny_corpus(tmp_path)
+    art = tmp_path / "step.stablehlo"
+    main(["--model", "GRU", "--epochs", "1", "--batch-size", "4",
+          "--bptt", "8", "--lr", "5", "--dropout", "0",
+          "--log-interval", "0", "--emsize", "8", "--nhid", "8",
+          "--nlayers", "1", "--data", str(root),
+          "--save", str(tmp_path / "m.npz"), "--export", str(art)])
+    step = load_serving(art)
+    logp, _ = step(jnp.zeros((1, 1), jnp.int32),
+                   lstm_lm.init_hidden(1, nhid=8, nlayers=1, cell="GRU"))
+    assert logp.shape == (1, 31)

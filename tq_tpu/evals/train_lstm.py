@@ -263,13 +263,42 @@ def main(argv=None):
     ap.add_argument("--nhid", type=int, default=650)
     ap.add_argument("--nlayers", type=int, default=2)
     ap.add_argument("--limit-tokens", type=int, default=None)
+    ap.add_argument("--export", default=None, metavar="PATH",
+                    help="after training, serialize the best model's "
+                         "serving step to StableHLO at PATH (the "
+                         "reference's --onnx-export, main.py:196-202; "
+                         "recurrent families only — for the QUANTIZED "
+                         "artifact use tq-generate --tr --export)")
     a = ap.parse_args(argv)
     Path(a.save).parent.mkdir(parents=True, exist_ok=True)
-    train(a.epochs, a.batch_size, bptt=a.bptt, lr=a.lr, dropout=a.dropout,
-          seed=a.seed, data_dir=a.data, save_path=a.save, emsize=a.emsize,
-          nhid=a.nhid, nlayers=a.nlayers, limit_tokens=a.limit_tokens,
-          model=a.model, nhead=a.nhead, tied=a.tied, clip=a.clip,
-          log_interval=a.log_interval or None)
+    if a.export and a.model == "Transformer":
+        ap.error("--export supports the recurrent families here; "
+                 "export the Transformer via tq-generate --tr --export")
+    best_params, _ = train(
+        a.epochs, a.batch_size, bptt=a.bptt, lr=a.lr, dropout=a.dropout,
+        seed=a.seed, data_dir=a.data, save_path=a.save, emsize=a.emsize,
+        nhid=a.nhid, nlayers=a.nlayers, limit_tokens=a.limit_tokens,
+        model=a.model, nhead=a.nhead, tied=a.tied, clip=a.clip,
+        log_interval=a.log_interval or None)
+    if a.export:
+        # The reference exports the TRAINED fp32 model as the
+        # deployable graph (main.py:196-202, one (1, batch) step).
+        import jax.numpy as jnp
+
+        from tq_tpu.utils.export import export_serving
+
+        params = jax.tree.map(jnp.asarray, best_params)
+
+        def step(tok, hidden):
+            return lstm_lm.apply(params, tok, hidden, a.model)
+
+        export_serving(
+            step,
+            (jnp.zeros((1, 1), jnp.int32),
+             lstm_lm.init_hidden(1, nhid=a.nhid, nlayers=a.nlayers,
+                                 cell=a.model)),
+            a.export)
+        print(f"exported serving step to {a.export}")
 
 
 if __name__ == "__main__":

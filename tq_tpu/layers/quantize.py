@@ -70,9 +70,19 @@ def histogram_update(hist, x, cfg: CalibConfig = CalibConfig()):
 
 def _tr_elementwise_vals(x_grid, sf, bits: int, terms: int):
     """term_reveal with g=1 on a 1-D grid, written to vmap cleanly over sf."""
+    from tq_tpu.kernels.tr_quantize import max_hese_terms
+
     maxq = 2**bits - 1
     q = jnp.clip(jnp.floor(jnp.abs(x_grid) / sf + 0.5), 0, maxq).astype(jnp.int32)
     sign = jnp.where(x_grid < 0, -1.0, 1.0)
+    if terms >= max_hese_terms(bits):
+        # Degenerate budget (every reference UQ row, and the 16-bit
+        # exempt setting): no term can ever be dropped, so TR == plain
+        # UQ — skip the plane expansion.  At 16-bit calibration this
+        # removes ~17 planes x 2048 candidates x 8192 grid points of
+        # work from every exempt layer's MSE search (the slow tier's
+        # worst line was exactly this, 116 s).
+        return sign * q.astype(x_grid.dtype) * sf
     planes = hese_digit_planes(q, bits)  # (N, T)
     absd = jnp.abs(planes)
     incl = jnp.cumsum(absd[..., ::-1], axis=-1)[..., ::-1]  # terms at p' >= p
