@@ -31,6 +31,7 @@ EXAMPLES = [
      "serving-mode top-1 agrees"),
     ("sharded_inference.py", [], "served 100 requests"),
     ("pipeline_inference.py", [], "pipelined 8 microbatches"),
+    ("lm_serving.py", [], "served 51 generation requests"),
 ]
 
 
