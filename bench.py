@@ -32,7 +32,12 @@ metric's subprocess timeout is its WEIGHTED SHARE of the remaining
 budget (see ``_run_suite``) — never a flat cap that lets one stuck
 metric eat half the record; a metric that can't fit emits
 ``{"metric": ..., "skipped": "budget", ...}`` instead of being killed
-mid-metric, and any timeout flips fast mode for the rest.  Every line carries ``secs`` (the metric's own
+mid-metric, and any timeout flips fast mode for the rest.  Leftover
+budget is spent cycling fast-mode RETRIES of failed metrics, so a
+retried metric can emit a second line tagged ``"retry": true`` — the
+stdout contract is therefore "the LAST line per metric wins" (a retry
+value supersedes the earlier error line).  Every line carries ``secs``
+(the metric's own
 wall-clock, which doubles as a compile-cache health check: a warm
 /tmp/tq_jax_cache run takes seconds-to-tens per metric, a cold one
 ~100 s+ per distinct program on this rig's remote-compile tunnel; the
@@ -929,7 +934,7 @@ def _run_suite() -> int:
         except OSError:
             return 0
 
-    def _run_one(name, argv, cap, retry=False):
+    def _run_one(name, argv, cap, weight, remaining, retry=False):
         """Run one metric subprocess; print its line.  Returns True if a
         VALUE line (not an error) was printed."""
         t_m = time.perf_counter()
@@ -969,6 +974,7 @@ def _run_suite() -> int:
             # Name the binding constraint honestly (round-4's record
             # blamed "per-metric cap" for a remaining-budget kill).
             which = ("per-metric cap" if cap == metric_cap
+                     else "remaining budget" if cap >= remaining
                      else "weighted share")
             print(json.dumps({
                 "metric": name,
@@ -1016,7 +1022,7 @@ def _run_suite() -> int:
         weight_left = sum(w for _, _, w in SUITE[i:])
         cap = min(metric_cap, remaining,
                   max(60.0, remaining * weight / weight_left))
-        if not _run_one(name, argv, cap):
+        if not _run_one(name, argv, cap, weight, remaining):
             failed.append((name, argv, weight))
         printed += 1
 
@@ -1034,8 +1040,8 @@ def _run_suite() -> int:
             if remaining < 60:
                 still.extend(failed[j:])
                 break
-            if not _run_one(name, argv,
-                            min(remaining, max(90.0, 1.5 * weight)),
+            cap = min(metric_cap, remaining, max(90.0, 1.5 * weight))
+            if not _run_one(name, argv, cap, weight, remaining,
                             retry=True):
                 still.append((name, argv, weight))
         failed = still

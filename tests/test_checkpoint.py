@@ -101,3 +101,11 @@ def test_npz_meta_and_store_dtype_marker(tmp_path):
     pl = tmp_path / "legacy.npz"
     np.savez(pl, w=np.ones((2, 2), np.float16))
     assert load_params(pl)["w"].dtype == np.float32
+
+
+def test_reserved_meta_key_rejected(tmp_path):
+    """A param tree using the reserved '__meta__' key fails loudly at
+    save time (load would silently strip it into the meta dict)."""
+    with pytest.raises(ValueError, match="reserved '__meta__'"):
+        save_params(tmp_path / "x.npz",
+                    {"__meta__": {"w": jnp.ones((2,))}})

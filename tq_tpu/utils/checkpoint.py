@@ -93,6 +93,14 @@ def save_params(path: str | Path, tree, store_dtype=None, meta=None):
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = flatten_tree(jax.device_get(tree))
+    if any(k == "__meta__" or k.startswith("__meta__/") for k in flat):
+        # Reserved namespace: load_params diverts these keys into the
+        # meta dict, which would silently strip the branch from the
+        # round-tripped tree — fail loudly at save time instead.
+        raise ValueError(
+            "param tree uses the reserved '__meta__' key; rename the "
+            "branch or pass the data via the meta= argument"
+        )
     if store_dtype is not None:
         flat = {k: (v.astype(store_dtype)
                     if np.issubdtype(v.dtype, np.floating) else v)
