@@ -34,7 +34,13 @@ def train(
     data_dir: str | None = None,
     save_path: str | None = None,
     verbose: bool = True,
+    test_batch_size: int = 1000,
+    log_interval: int | None = None,
+    dry_run: bool = False,
 ):
+    """``test_batch_size``/``log_interval``/``dry_run`` mirror the
+    reference CLI (train_mlp.py:70-88); ``dry_run`` runs a single
+    train batch + a single eval batch and returns."""
     (xtr, ytr), (xte, yte), source = load_mnist(data_dir)
     if verbose:
         print(f"data source: {source}; train={len(ytr)} test={len(yte)}")
@@ -76,14 +82,25 @@ def train(
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(xtr[idx]), jnp.asarray(ytr[idx]), drop
             )
+            if log_interval and i % log_interval == 0:
+                # One host fetch per interval (train_mlp.py:37-41).
+                print(f"Train Epoch: {epoch + 1} "
+                      f"[{i * batch_size}/{n}]\tLoss: {float(loss):.6f}")
+            if dry_run:
+                break
         correct = 0
-        for i in range(0, len(yte), 1000):
+        for i in range(0, len(yte), test_batch_size):
             correct += int(
-                eval_batch(params, jnp.asarray(xte[i : i + 1000]), jnp.asarray(yte[i : i + 1000]))
+                eval_batch(params, jnp.asarray(xte[i : i + test_batch_size]),
+                           jnp.asarray(yte[i : i + test_batch_size]))
             )
+            if dry_run:
+                break
         if verbose:
             print(f"epoch {epoch + 1}: loss={float(loss):.4f} "
                   f"test_acc={100.0 * correct / len(yte):.2f}%")
+        if dry_run:
+            break
 
     if save_path:
         save_params(save_path, params)
@@ -106,14 +123,23 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--test-batch-size", type=int, default=1000,
+                    help="eval batch size (train_mlp.py:72-73)")
     ap.add_argument("--lr", type=float, default=1.0)
     ap.add_argument("--gamma", type=float, default=0.7)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--log-interval", type=int, default=0,
+                    help="batches between loss prints "
+                         "(train_mlp.py:84-86); 0 disables")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="single train+eval batch (train_mlp.py:80-81)")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--save-model", default="pretrained/mnist_mlp.npz")
     a = ap.parse_args(argv)
     Path(a.save_model).parent.mkdir(parents=True, exist_ok=True)
-    train(a.epochs, a.batch_size, a.lr, a.gamma, a.seed, a.data_dir, a.save_model)
+    train(a.epochs, a.batch_size, a.lr, a.gamma, a.seed, a.data_dir,
+          a.save_model, test_batch_size=a.test_batch_size,
+          log_interval=a.log_interval or None, dry_run=a.dry_run)
 
 
 if __name__ == "__main__":
