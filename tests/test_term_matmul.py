@@ -410,3 +410,22 @@ def test_lstm_pack_u8s_generation_path(rng):
     out, _, _ = fwd(pu8, qstate, tokens, hidden)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_model_pack_single_host_sync(monkeypatch, rng):
+    """Model-level pack must batch ALL overflow checks into ONE
+    jax.device_get (BENCH_r04 post-mortem: per-tensor float() syncs
+    under a congested device tunnel cost minutes; PERF.md round 5)."""
+    import jax
+
+    from tq_tpu.models import transformer_lm
+
+    params = transformer_lm.init(jax.random.PRNGKey(0), vocab=64,
+                                 emsize=16, nhead=2, nhid=16, nlayers=2)
+    qp, qcfg, qs = transformer_lm.convert(params, 8, 8, 24, 8, 8)
+
+    calls = []
+    real = jax.device_get
+    monkeypatch.setattr(jax, "device_get", lambda x: calls.append(1) or real(x))
+    transformer_lm.pack(qp, qcfg, fmt="u8s")
+    assert len(calls) == 1, f"pack made {len(calls)} host syncs, want 1"
