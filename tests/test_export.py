@@ -160,6 +160,10 @@ def test_generate_cli_export_requires_tr(tmp_path):
         main(["--checkpoint", str(ck), "--export", str(tmp_path / "x")])
 
 
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="on the TPU backend the quantized apply "
+                    "takes the Pallas path, which has no CPU lowering "
+                    "— portable artifacts export from a CPU process")
 def test_multi_platform_export(tmp_path):
     """One artifact lowered for BOTH cpu and tpu (jax.export
     multi-platform lowering) — portable deployment; executes on the

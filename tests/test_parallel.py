@@ -7,6 +7,13 @@ import pytest
 
 from tq_tpu.parallel.mesh import make_mesh
 from tq_tpu.parallel.sharding import mlp_param_specs, shard_pytree
+
+# SPMD tests need the virtual multi-device mesh; under TQ_TEST_TPU=1
+# the suite runs on ONE real chip, where these are meaningless (the
+# sharding semantics are identical on the virtual CPU mesh — conftest).
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs >= 8 devices (virtual CPU mesh; TQ_TEST_TPU runs on one chip)")
 from tq_tpu.parallel.train import setup_mlp_training
 from tq_tpu.models import mlp
 

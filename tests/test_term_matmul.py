@@ -3,10 +3,33 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from tq_tpu.kernels.term_matmul import term_matmul
 from tq_tpu.ops.term_reveal import term_reveal
+
+_ON_TPU = jax.default_backend() == "tpu"
+
+
+def _ref_close(out, ref, rtol, atol):
+    """Compare a packed/integer path against an f32-weight reference.
+
+    On CPU the f32 MXU is true f32 and the stated tolerances are
+    (near-)exactness claims.  On the real chip fp32 MXU OPERANDS round
+    to 8 mantissa bits (``--xla_allow_excess_precision``), so the f32
+    REFERENCE side itself carries bf16 operand rounding while the
+    packed integer side is exact — under ``TQ_TEST_TPU=1`` this asserts
+    the bf16 rounding class instead; the exactness claims stay pinned
+    by the default CPU run."""
+    if _ON_TPU:
+        # Operand-rounding error accumulates with the SUMMAND scale,
+        # not the (possibly cancelled) output scale — scale atol by
+        # the reference magnitude.
+        scale = max(1.0, float(np.max(np.abs(np.asarray(ref)))))
+        rtol, atol = max(rtol, 2e-2), max(atol, 2e-2 * scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=rtol, atol=atol)
 
 
 @pytest.mark.parametrize("M,K,N", [(8, 32, 16), (130, 300, 70), (256, 512, 512)])
@@ -61,8 +84,7 @@ def test_int_packed_weights_match(rng):
         assert wi.dtype == (jnp.int8 if wb <= 7 else jnp.int16)
         out = term_matmul(x, wi, jnp.float32(0.05), 8, 3, w_sf=w_sf2,
                           bm=64, bk=128, bn=64)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-4)
+        _ref_close(out, ref, rtol=1e-5, atol=1e-4)
 
 
 def test_int8_bf16_packed_weights(rng):
@@ -159,8 +181,7 @@ def test_bf16_integer_operand_exact_vs_f32_weights(rng):
     ref = jnp.dot(term_reveal(x, sf, 8, 1, 3, axis=-1),
                   w, preferred_element_type=jnp.float32)
     out = term_matmul(x, w, sf, 8, 3, bf16=True, bm=32, bk=128, bn=32)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-6, atol=1e-6)
+    _ref_close(out, ref, rtol=1e-6, atol=1e-6)
 
 
 @pytest.mark.parametrize("mode", ["f32", "bf16", "int8"])
@@ -216,8 +237,7 @@ def test_pack_dense_weights_serving(rng):
         packed = pack_dense_weights(qp, tr)
         assert packed["w"].dtype == (jnp.int8 if wb <= 7 else jnp.int16)
         out, _ = tr_dense_apply(packed, tr, qs, x, track=False)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=2e-4, atol=2e-4)
+        _ref_close(out, ref, rtol=2e-4, atol=2e-4)
         # tracking phase works with packed weights (dequant fallback)
         y, qs2 = tr_dense_apply(packed, tr, qs, x, track=True)
         assert y.shape == ref.shape
@@ -247,8 +267,7 @@ def test_dense_apply_wide_n_bf16_path_exact(rng):
     xq = term_reveal(x, jnp.float32(0.04), 8, 1, 8, axis=-1)
     w_fp = qp["w"].astype(jnp.float32) * qp["w_sf"]
     want = jnp.dot(xq, w_fp) + params["b"]
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-6, atol=1e-6)
+    _ref_close(got, want, rtol=1e-6, atol=1e-6)
 
 
 def test_int16_packed_bf16_fused_exact(rng):
@@ -267,8 +286,7 @@ def test_int16_packed_bf16_fused_exact(rng):
     out = term_matmul(x, w16, sf, 8, 8, bf16=True, w_sf=w_sf,
                       bm=32, bk=128, bn=64)
     ref = jnp.dot(term_reveal(x, sf, 8, 1, 8, axis=-1), w_q)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-6, atol=1e-5)
+    _ref_close(out, ref, rtol=1e-6, atol=1e-5)
 
 
 def test_bm_equal_split_no_padding_waste(rng):
@@ -308,8 +326,7 @@ def test_packed_u8s_weights_match_int16_path(rng):
     # f32 MXU mode works too.
     out32 = term_matmul(x, wp, sf, 8, 8, bm=32, bk=128, bn=64)
     refq = jnp.dot(term_reveal(x, sf, 8, 1, 8, axis=-1), w_q)
-    np.testing.assert_allclose(np.asarray(out32), np.asarray(refq),
-                               rtol=1e-6, atol=1e-5)
+    _ref_close(out32, refq, rtol=1e-6, atol=1e-5)
 
 
 def test_packed_u8s_odd_k_and_full_range(rng):
@@ -328,8 +345,7 @@ def test_packed_u8s_odd_k_and_full_range(rng):
     sf = jnp.float32(0.03)
     out = term_matmul(x, wp, sf, 8, 3, bf16=True, bm=16, bk=128, bn=32)
     ref = jnp.dot(term_reveal(x, sf, 8, 1, 3, axis=-1), w_q)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-4)
+    _ref_close(out, ref, rtol=1e-5, atol=1e-4)
 
 
 def test_packed_u8s_validation(rng):
@@ -373,8 +389,7 @@ def test_pack_dense_weights_u8s_serving(rng):
     packed = pack_dense_weights(qp, tr, fmt="u8s")
     assert isinstance(packed["w"], PackedWeight8)
     out, _ = tr_dense_apply(packed, tr, qs, x, track=False)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
+    _ref_close(out, ref, rtol=2e-4, atol=2e-4)
     # tracking phase (raw-x matmul through the decode fallback)
     y, _ = tr_dense_apply(packed, tr, qs, x, track=True)
     yr, _ = tr_dense_apply(qp, tr, qs, x, track=True)
@@ -383,8 +398,8 @@ def test_pack_dense_weights_u8s_serving(rng):
     # 3-D input takes the unfused decode fallback
     x3 = x.reshape(4, 4, K)
     out3, _ = tr_dense_apply(packed, tr, qs, x3, track=False)
-    np.testing.assert_allclose(np.asarray(out3).reshape(16, N),
-                               np.asarray(ref), rtol=2e-4, atol=2e-4)
+    _ref_close(np.asarray(out3).reshape(16, N), ref,
+               rtol=2e-4, atol=2e-4)
     with pytest.raises(ValueError, match="unknown pack fmt"):
         pack_dense_weights(qp, tr, fmt="nope")
 

@@ -12,6 +12,13 @@ import jax.numpy as jnp
 
 from tq_tpu.models import transformer_lm
 
+# On the real chip (TQ_TEST_TPU=1) fp32 MXU operands round to 8
+# mantissa bits (--xla_allow_excess_precision), so cross-implementation
+# comparisons (torch f32 / full-vs-incremental groupings / packed-vs-fp
+# weights) can only agree to the bf16 operand-rounding class; the CPU
+# run pins the tight tolerances.
+_MXU_ATOL = 2e-2 if jax.default_backend() == "tpu" else 0.0
+
 
 def _import_torch(tmodel, vocab, emsize, nhead, nlayers):
     sd = tmodel.state_dict()
@@ -86,7 +93,8 @@ def test_forward_matches_torch(twin, rng):
     with torch.no_grad():
         ref = m(torch.from_numpy(tokens)).numpy().reshape(7 * 3, vocab)
     out = transformer_lm.apply(params, jnp.asarray(tokens))
-    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               atol=max(2e-4, _MXU_ATOL))
 
 
 @pytest.mark.slow
@@ -115,7 +123,8 @@ def test_high_bit_conversion_near_lossless(twin, rng):
     ref = transformer_lm.apply(params, tokens)
     ev = transformer_lm.make_quantized_apply(qcfg, track=False)
     out, _ = ev(qp, qs, tokens)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=max(1e-3, _MXU_ATOL))
 
 
 def test_generate_transformer_samples_tokens():
@@ -213,7 +222,8 @@ def test_decode_step_matches_full_prefix():
         logp, cache = transformer_lm.decode_step(
             params, toks[t : t + 1], t, cache, nhead=nhead)
         np.testing.assert_allclose(np.asarray(logp), np.asarray(full[t]),
-                                   atol=1e-5, err_msg=f"pos {t}")
+                                   atol=max(1e-5, _MXU_ATOL),
+                                   err_msg=f"pos {t}")
 
     # Quantized + u8s-packed path agrees with the quantized full forward.
     qp, qcfg, qs = transformer_lm.convert(params, 8, 8, 24, 8, 8)
@@ -228,4 +238,5 @@ def test_decode_step_matches_full_prefix():
             qp_packed, toks[t : t + 1], t, cache, nhead=nhead,
             qcfg=qcfg, qstate=qs)
         np.testing.assert_allclose(np.asarray(logp), np.asarray(qfull[t]),
-                                   atol=2e-4, err_msg=f"q pos {t}")
+                                   atol=max(2e-4, _MXU_ATOL),
+                                   err_msg=f"q pos {t}")

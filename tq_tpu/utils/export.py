@@ -47,6 +47,10 @@ def export_serving(fn, example_args, path: str | Path | None = None,
     ``example_args``: pytree of arrays / ShapeDtypeStructs fixing the
     input signature.  ``platforms``: e.g. ``("cpu", "tpu")`` for a
     multi-platform artifact (default: the current backend only).
+    NB: export multi-platform artifacts from a CPU process — on the
+    TPU backend the quantized forwards route through Pallas kernels,
+    which have no CPU lowering (the single-platform TPU artifact keeps
+    the kernels and is the fast serving choice).
     Returns the serialized bytes; also writes them to ``path``.
     """
     specs = jax.tree.map(_spec, tuple(example_args))
