@@ -169,8 +169,13 @@ def test_pack_conv_int8_serving(rng):
     packed = pack_conv_weights(qp, tr)
     assert packed["w"].dtype == jnp.int8
     out, _ = tr_conv_apply(packed, tr, qs, x, track=False)
+    # On the real chip the f32 REFERENCE conv rounds MXU operands to 8
+    # mantissa bits (--xla_allow_excess_precision) while the packed
+    # path is exact int32 — assert the bf16 rounding class there; the
+    # CPU run pins exactness (same convention as test_term_matmul).
+    tol = 2e-2 if jax.default_backend() == "tpu" else 1e-4
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=tol, atol=tol)
     # tracking phase with packed weights: dequant fallback, hist updates
     y, qs2 = tr_conv_apply(packed, tr, qs, x, track=True)
     assert y.shape == ref.shape
@@ -200,8 +205,12 @@ def test_pack_cnn_whole_model(rng, cnn_params):
     x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
     ref, _ = fwd(qparams, qstate, x)
     out, _ = fwd(packed, qstate, x)
+    # bf16 operand-rounding class on chip, compounded through ~20
+    # rounded REFERENCE-side layers (see test_pack_conv_int8_serving);
+    # corruption would be O(1) on every logit, not 0.07 on 4/2000.
+    tol = 1e-1 if jax.default_backend() == "tpu" else 5e-4
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=5e-4, atol=5e-4)
+                               rtol=tol, atol=tol)
 
 
 @pytest.mark.parametrize("m,image", [(resnet, 64), (mobilenet, 64),
